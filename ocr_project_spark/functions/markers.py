@@ -1,0 +1,261 @@
+"""Pure post-processing kernels (reference §2.5 operators P1-P6, M8, D2/D3).
+
+Every function here is a deterministic pure function over plain Python
+values; the Spark layer applies them inside Arrow-vectorized pandas UDFs.
+Byte-identity-critical behavior is replicated from the reference (file:line
+cited per function) — the regexes, join separators, whitespace collapse and
+sentinels must match to the byte.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+from ocr_project_spark.contract import (
+    DET_CLOSE,
+    DET_OPEN,
+    EMPTY_MARKDOWN_SENTINEL,
+    END_OF_TEXT_SENTINEL,
+    GRID_MAX,
+    PAGE_SEPARATOR_FMT,
+    REF_CLOSE,
+    REF_OPEN,
+)
+
+# P2 — markdown extraction regex (reference: deepseek_ocr_backend.py:487;
+# negative lookahead drops image refs).
+_MD_PATTERN = re.compile(r"<\|ref\|>(?!image)(.*?)<\|/ref\|>", re.DOTALL)
+# P3 — span parse regex (reference: deepseek_ocr_backend.py:521).
+_SPAN_PATTERN = re.compile(r"(<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>)", re.DOTALL)
+# P2 — blank-run collapse (reference: deepseek_ocr_backend.py:494).
+_BLANK_RUN = re.compile(r"\n\s*\n")
+
+
+def strip_end_of_text(content: str) -> str:
+    """P1 — remove the ``<|endoftext|>`` sentinel.
+
+    reference: deepseek_ocr_backend.py:358-360 (conditional replace).
+    """
+    if END_OF_TEXT_SENTINEL in content:
+        return content.replace(END_OF_TEXT_SENTINEL, "")
+    return content
+
+
+def extract_markdown(raw_output: str) -> str:
+    """P2 — project marker text to markdown.
+
+    reference: deepseek_ocr_backend.py:471-497. Keeps text between ref
+    markers (excluding refs starting with "image"), strips each match, joins
+    with a blank line, collapses blank runs, and falls back to the exact
+    empty-result sentinel. An empty raw output returns "" (not the sentinel).
+    """
+    if not raw_output:
+        return ""
+    matches = _MD_PATTERN.findall(raw_output)
+    markdown_text = "\n\n".join(m.strip() for m in matches if m.strip())
+    markdown_text = _BLANK_RUN.sub("\n\n", markdown_text).strip()
+    return markdown_text if markdown_text else EMPTY_MARKDOWN_SENTINEL
+
+
+def parse_spans(raw_output: str) -> list[tuple[str, int, int, int, int]]:
+    """P3 — extract ``(ref_text, x1, y1, x2, y2)`` span tuples.
+
+    reference: deepseek_ocr_backend.py:517-543. The det payload must be
+    wrapped in ``[[...]]`` and contain exactly four ints; malformed spans are
+    skipped, an empty ref label becomes ``'text'``.
+    """
+    spans: list[tuple[str, int, int, int, int]] = []
+    if not raw_output:
+        return spans
+    for _full, ref_text, det_text in _SPAN_PATTERN.findall(raw_output):
+        if not (det_text.startswith("[[") and det_text.endswith("]]")):
+            continue
+        try:
+            coords = [int(x.strip()) for x in det_text[2:-2].split(",")]
+        except ValueError:
+            continue
+        if len(coords) != 4:
+            continue
+        spans.append((ref_text if ref_text else "text", *coords))
+    return spans
+
+
+def denormalize_box(
+    box: Sequence[int], width: int, height: int
+) -> tuple[int, int, int, int]:
+    """P4 — map the 0-999 grid onto pixel coordinates.
+
+    reference: deepseek_ocr_backend.py:568-572 (``int(x/999 * dim)``).
+    """
+    x1, y1, x2, y2 = box
+    return (
+        int(x1 / GRID_MAX * width),
+        int(y1 / GRID_MAX * height),
+        int(x2 / GRID_MAX * width),
+        int(y2 / GRID_MAX * height),
+    )
+
+
+def make_span_marker(ref_text: str, box: Sequence[int]) -> str:
+    """Render one block as the reference's raw marker surface format.
+
+    reference: shared/api_contract.py:113-117 (DEEPSEEK_RAW_FORMAT).
+    """
+    x1, y1, x2, y2 = box
+    return (
+        f"{REF_OPEN}{ref_text}{REF_CLOSE}"
+        f"{DET_OPEN}[[{x1}, {y1}, {x2}, {y2}]]{DET_CLOSE}"
+    )
+
+
+def page_separator(page_num_1idx: int) -> str:
+    """P6 — the byte-exact page separator (deepseek_ocr_backend.py:363)."""
+    return PAGE_SEPARATOR_FMT.format(n=page_num_1idx)
+
+
+def assemble_pages(
+    page_contents: Iterable[tuple[int, str]],
+) -> tuple[str, list[int]]:
+    """P6 — ordered multi-page assembly.
+
+    reference: deepseek_ocr_backend.py:351-377. Each page's content is
+    stripped of ``<|endoftext|>``, suffixed with ``\\n<--- Page {n} --->\\n``
+    (1-indexed), and pages are joined with ``"\\n"`` in ascending page order.
+    Returns (markdown_content, processed_pages_1idx).
+    """
+    ordered = sorted(page_contents, key=lambda pc: pc[0])
+    parts = []
+    processed = []
+    for page_1idx, content in ordered:
+        content = strip_end_of_text(content)
+        parts.append(content + page_separator(page_1idx))
+        processed.append(page_1idx)
+    return "\n".join(parts), processed
+
+
+def select_pages_exact(selected: Sequence[int] | None, total: int) -> list[int]:
+    """R4 (html arm) — DeepSeek page-selection semantics: keep the *exact set*
+    of valid 1-indexed pages, preserving request order.
+
+    reference: deepseek_ocr_backend.py:296-304. ``None`` selects all pages;
+    an empty intersection raises ValueError with the reference's message.
+    """
+    if selected is None:
+        return list(range(1, total + 1))
+    kept = [p for p in selected if 1 <= p <= total]
+    if not kept:
+        raise ValueError("No valid pages selected for processing")
+    return kept
+
+
+def select_pages_range(selected: Sequence[int] | None, total: int) -> list[int]:
+    """R4 (layout arm) — MinerU page-selection semantics: keep the *contiguous
+    range* min(selected)..max(selected) (1-indexed, clamped to the document).
+
+    reference: mineru_backend.py:282-295 (start=min-1, end=max-1 handed to a
+    pypdfium2 range slice). An out-of-range start raises (the reference's
+    pypdfium2 call would fail → error path).
+    """
+    if not selected:
+        return list(range(1, total + 1))
+    start = min(selected)
+    end = max(selected)
+    if start > total:
+        raise ValueError("No valid pages selected for processing")
+    return list(range(max(start, 1), min(end, total) + 1))
+
+
+def ngram_window_banned(
+    tokens: Sequence[int] | Sequence[str],
+    ngram_size: int = 3,
+    window_size: int = 100,
+    whitelist: set | None = None,
+) -> set:
+    """M8 — no-repeat n-gram window: tokens that would complete an n-gram
+    already seen within the trailing window.
+
+    reference: process/ngram_norepeat.py:18-40. Given the current token
+    sequence, returns the set of next tokens banned because appending them
+    would repeat an ``ngram_size``-gram whose prefix matches the trailing
+    ``ngram_size - 1`` tokens, searched within the last ``window_size``
+    tokens, minus the whitelist.
+    """
+    whitelist = whitelist or set()
+    if len(tokens) < ngram_size:
+        return set()
+    current_prefix = tuple(tokens[-(ngram_size - 1):])
+    search_start = max(0, len(tokens) - window_size)
+    search_end = len(tokens) - ngram_size + 1
+    banned = set()
+    for i in range(search_start, search_end):
+        ngram = tuple(tokens[i : i + ngram_size])
+        if ngram[:-1] == current_prefix:
+            banned.add(ngram[-1])
+    return banned - whitelist
+
+
+def suppress_repeats(
+    tokens: Sequence[str],
+    ngram_size: int = 3,
+    window_size: int = 100,
+) -> list[str]:
+    """M8 applied greedily to an already-produced token stream: drop any token
+    that the no-repeat processor would have banned at its position. This is
+    the batch analog of attaching the logits processor during decode
+    (reference: deepseek_ocr_backend.py:344,442)."""
+    out: list[str] = []
+    for tok in tokens:
+        if tok in ngram_window_banned(out, ngram_size, window_size):
+            continue
+        out.append(tok)
+    return out
+
+
+def count_tiles(
+    orig_width: int,
+    orig_height: int,
+    min_num: int = 2,
+    max_num: int = 6,
+    image_size: int = 640,
+) -> tuple[int, int]:
+    """D2 — deterministic tile-grid selection (the reference's dynamic tiling
+    ratio search), kept because it sizes per-document work (SURVEY §2.4 M2:
+    the observable role is the ``cost`` column used for skew control).
+
+    reference: process/image_process.py:21-64; constants process/config.py:8-12.
+    Returns the (w, h) tile grid chosen for an image of the given size.
+    """
+    aspect_ratio = orig_width / orig_height
+    candidates = sorted(
+        {
+            (i, j)
+            for n in range(min_num, max_num + 1)
+            for i in range(1, n + 1)
+            for j in range(1, n + 1)
+            if min_num <= i * j <= max_num
+        },
+        key=lambda r: r[0] * r[1],
+    )
+    area = orig_width * orig_height
+    best = (1, 1)
+    best_diff = float("inf")
+    for ratio in candidates:
+        diff = abs(aspect_ratio - ratio[0] / ratio[1])
+        if diff < best_diff:
+            best_diff = diff
+            best = ratio
+        elif diff == best_diff and area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+            best = ratio
+    return best
+
+
+def tiling_plan(width: int, height: int, image_size: int = 640) -> tuple[int, int]:
+    """D2/D3 — tile grid with the small-image bypass: images that fit within a
+    single tile skip tiling entirely (crop ratio (1, 1)).
+
+    reference: process/image_process.py:345-355.
+    """
+    if width <= image_size and height <= image_size:
+        return (1, 1)
+    return count_tiles(width, height, image_size=image_size)

@@ -1,0 +1,128 @@
+"""Batch extraction operator: validate → dispatch → extract, one Arrow pass.
+
+This is the Spark-native collapse of the reference's three process boundaries
+(orchestrator HTTP hop, backend Flask hop, vLLM engine — SURVEY §3.1): a
+single ``mapInPandas`` over Arrow record batches. Dispatch (R2) is row-local
+(no shuffle); validation rejects (R1) become error rows instead of HTTP 400s
+(reference: orchestrator/server.py:127-135); the health gate (R3) becomes
+per-document fault isolation plus an optional model-loaded short-circuit.
+
+Zero per-row Python at the DataFrame level: the per-document loop runs inside
+the Arrow batch on the executor, exactly where the reference's per-request
+loop ran inside its GPU service.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ocr_project_spark.contract import (
+    ERR_INVALID_BACKEND_FMT,
+    ERR_MISSING_DOCUMENT,
+    RESULT_SCHEMA,
+    VALID_BACKENDS,
+)
+from ocr_project_spark.kernels.registry import (
+    BACKEND_REGISTRY,
+    DocResult,
+    model_not_loaded_result,
+)
+
+
+def _reject(backend: str, err: str) -> DocResult:
+    return DocResult(
+        backend=backend,
+        file_type="",
+        success=False,
+        markdown="",
+        text="",
+        raw_output="",
+        error=err,
+    )
+
+
+def _result_row(url: str, doc_id: int, res: DocResult) -> dict:
+    return {
+        "url": url,
+        "doc_id": doc_id,
+        "backend": res.backend,
+        "file_type": res.file_type,
+        "success": res.success,
+        "markdown": res.markdown,
+        "text": res.text,
+        "raw_output": res.raw_output,
+        "spans": [
+            {"ref": s[0], "x1": s[1], "y1": s[2], "x2": s[3], "y2": s[4]}
+            for s in res.spans
+        ],
+        "page_count": res.page_count,
+        "processed_pages": list(res.processed_pages),
+        "n_bytes": len(res.text.encode("utf-8")),
+        "error": res.error,
+    }
+
+
+_COLUMNS = [f.name for f in RESULT_SCHEMA.fields]
+
+
+def make_extract_fn(model_loaded: dict | None = None):
+    """Build the mapInPandas callable; ``model_loaded`` maps backend name →
+    bool and defaults to all-loaded (the reference's steady state)."""
+    gate = model_loaded or {}
+
+    def _extract_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            has_pages = "pages" in pdf.columns
+            has_doc_id = "doc_id" in pdf.columns
+            rows = []
+            for i in range(len(pdf)):
+                url = pdf["url"].iat[i]
+                doc_id = int(pdf["doc_id"].iat[i]) if has_doc_id else -1
+                backend = pdf["backend"].iat[i]
+                payload = pdf["html"].iat[i]
+                sel = None
+                if has_pages:
+                    raw_sel = pdf["pages"].iat[i]
+                    if raw_sel is not None and len(raw_sel) > 0:
+                        sel = [int(p) for p in raw_sel]
+                if backend not in BACKEND_REGISTRY:
+                    res = _reject(
+                        backend if backend is not None else "",
+                        ERR_INVALID_BACKEND_FMT.format(
+                            backend=backend, valid=", ".join(VALID_BACKENDS)
+                        ),
+                    )
+                elif payload is None or len(payload) == 0:
+                    res = _reject(backend, ERR_MISSING_DOCUMENT)
+                elif not gate.get(backend, True):
+                    res = model_not_loaded_result(backend)
+                else:
+                    res = BACKEND_REGISTRY[backend](bytes(payload), sel)
+                rows.append(_result_row(url, doc_id, res))
+            yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return _extract_batches
+
+
+def extract_documents(
+    pages_df: DataFrame, model_loaded: dict | None = None
+) -> DataFrame:
+    """pages(url, html, backend[, doc_id, pages]) → unified result DataFrame.
+
+    Narrow transformation: dispatch and extraction are row-local, so the
+    input partitioning is preserved — no shuffle is introduced between the
+    scan and the result sink at any scale.
+    """
+    cols = ["url", "html", "backend"]
+    for opt in ("doc_id", "pages"):
+        if opt in pages_df.columns:
+            cols.append(opt)
+    return pages_df.select(*cols).mapInPandas(
+        make_extract_fn(model_loaded), schema=RESULT_SCHEMA
+    )

@@ -1,0 +1,53 @@
+"""Checkpoint/resume via anti-join on completed work (north rule; SURVEY §4.2).
+
+The production design is an Iceberg results table whose snapshot is the
+checkpoint; completed urls are skipped with a ``left_anti`` join against the
+already-written results (predicate/partition pruning reaches the scan through
+Catalyst). This sandbox has no Iceberg runtime, so the same mechanics run
+over parquet directories — the operator code is storage-agnostic: it only
+needs "a DataFrame of completed urls".
+
+Exactly-once: the anti-join filters *before* extraction, and the writer
+appends per partition; a re-run after a crash recomputes only missing urls,
+and the union of appends is deduplicated by construction (a url is processed
+by exactly one run). Idempotence is covered by tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
+    """Read the url column of prior results, or None on a cold start.
+
+    Column pruning matters at scale: only ``url`` is read from the results
+    store (check ``ReadSchema`` in the explain output), never the payloads.
+    """
+    if not os.path.exists(results_path):
+        return None
+    try:
+        return spark.read.parquet(results_path).select("url")
+    except Exception:  # noqa: BLE001 — empty/corrupt checkpoint dir → cold start
+        return None
+
+
+def resume_filter(
+    pages: DataFrame, done: DataFrame | None, broadcast_threshold: int | None = None
+) -> DataFrame:
+    """Skip already-completed urls with a left anti-join.
+
+    With AQE on, Spark converts the anti-join to a broadcast join at runtime
+    when the done-side is small; ``broadcast_threshold`` forces the hint for
+    deterministic plans in tests. At 100 TB the done set is large, and the
+    sort-merge anti-join on the url key is the correct shape — both sides
+    hash-partition on url and nothing else is shuffled.
+    """
+    if done is None:
+        return pages
+    done = done.select("url").distinct()
+    if broadcast_threshold is not None:
+        done = F.broadcast(done)
+    return pages.join(done, "url", "left_anti")

@@ -1,0 +1,42 @@
+"""SparkSession factory with the scale-tuned defaults used everywhere.
+
+The settings encode the 100 TB design intent even though tests run on
+local[*]: AQE on (runtime coalesce + skew splitting), Arrow batches sized so
+one batch approximates the reference's engine batch (max_num_seqs=16 →
+a few hundred docs per Arrow batch is the CPU-kernel sweet spot), and
+shuffle partitions matched to local parallelism (a real cluster would size
+this to executors × cores with AQE coalescing the tail).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "ocr-project-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_size: int = 512,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus if cpus != "*" else 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size)
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
