@@ -157,7 +157,9 @@ def build_pagedoc(doc_id: int, text: str, lang: str) -> str:
         rot = doc_id % max(len(blocks), 1)
         blocks = blocks[rot:] + blocks[:rot]
         pages.append({"page": p, "height": PAGE_HEIGHT, "blocks": blocks})
-    return PAGEDOC_MAGIC + json.dumps({"doc_id": doc_id, "pages": pages})
+    return PAGEDOC_MAGIC + json.dumps(
+        {"doc_id": doc_id, "pages": pages}, ensure_ascii=False
+    )
 
 
 def build_payload(doc_id: int, text: str, lang: str) -> bytes:

@@ -1,0 +1,320 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four families, ordered by scale path:
+
+- exact         — hash-groupBy; the only full-shuffle op, partial-agg friendly.
+- minhash+LSH   — shingle → minhash signature (vectorized numpy in an Arrow
+                  batch) → banding → bucket join → exact-jaccard verify.
+                  Candidate generation is O(n·bands), never all-pairs: the
+                  100 TB path.
+- simhash       — 64-bit simhash + chunk banding + bit_count hamming verify.
+- n-gram jaccard — exact all-pairs *within a blocking key*; O(b²) per block,
+                  used as the small-scale verification baseline for the
+                  approximate families (and the DuckDB-oracle-checkable one).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MINHASH_SEED = 0x5EED
+SIMHASH_SEED = 0xCAFE
+
+
+def exact_dup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups by content hash: one row per duplicated text
+    with the keeper (min id) and the duplicate count. Map-side partial
+    aggregation keeps the shuffle to one row per distinct hash."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def prefix_dup_groups(
+    docs: DataFrame, n_words: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup blocking by leading-word prefix (a cheap boilerplate-dedup
+    heuristic): groups sharing the first ``n_words`` words."""
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), 1, n_words))
+    return (
+        docs.groupBy(prefix.alias("prefix"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc (JVM: sequence/transform)."""
+    words = F.split(F.col(text_col), " ")
+    cnt = F.size(words)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), grams.alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    block_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs within a blocking key.
+
+    All-pairs *within each block* via a self-equi-join on the block column —
+    the shuffle is on the block key, and jaccard is computed with JVM array
+    intersect/union. Correct but quadratic per block: the verification
+    baseline the LSH family is tested against, and only ever run on blocks
+    small enough to enumerate (at 100 TB the blocked all-pairs is replaced by
+    minhash_candidate_pairs + the same verify step).
+    """
+    s = shingle_sets(docs.select(text_col, block_col, "doc_id"), n, text_col)
+    blocked = s.join(
+        docs.select("doc_id", F.col(block_col).alias("block")), "doc_id"
+    )
+    a = blocked.select(
+        F.col("block"),
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = blocked.select(
+        F.col("block"),
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (inter / union).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    mersenne = (1 << 61) - 1
+    a = rng.integers(1, mersenne, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, mersenne, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, signature array<long>).
+
+    Vectorized inside Arrow batches: one numpy broadcast per document
+    computes all ``num_hashes`` permutation minima over the shingle hash
+    values ((a·x + b) mod p universal hashing).
+    """
+    a, b = _hash_params(num_hashes, MINHASH_SEED)
+    mersenne = (1 << 61) - 1
+
+    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for sh in pdf["shingles"]:
+                # stable 64-bit shingle hashes (python hash is salted; use
+                # numpy-friendly FNV-1a over utf-8 bytes)
+                hv = np.array(
+                    [_fnv1a64(s) for s in sh], dtype=np.uint64
+                ).astype(np.int64)
+                prod = (hv[None, :].astype(object) * a[:, None] + b[:, None]) % mersenne
+                sigs.append(prod.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+
+    return shingled.mapInPandas(_sign, schema="doc_id long, signature array<long>")
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, bands: int = 16
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows, bucket-join on
+    (band index, band hash). The explode is 1→bands (bounded fan-out) and the
+    groupBy shuffles one small row per (doc, band) — linear in corpus size.
+    Buckets with a single member produce no pairs.
+    """
+    sig_len_expr = F.size("signature")
+    rows_per_band = (sig_len_expr / bands).cast("int")
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature", bi * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members")
+    )
+    pairs = buckets.where(F.size("members") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("members") - 2),
+                    lambda i: F.transform(
+                        F.slice(
+                            F.col("members"),
+                            i + 2,
+                            F.size("members"),
+                        ),
+                        lambda m: F.struct(
+                            F.col("members")[i].alias("id_a"), m.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pair")
+    )
+    return pairs.select("pair.id_a", "pair.id_b").distinct()
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from banding, then
+    exact-jaccard verification of candidates only (LSH gives recall, the
+    verify step restores precision)."""
+    shingled = shingle_sets(docs, n, text_col)
+    sigs = minhash_signatures(shingled, num_hashes)
+    cands = minhash_candidate_pairs(sigs, bands)
+    verified = (
+        cands.join(
+            shingled.select(
+                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document, vectorized numpy over Arrow batches."""
+
+    def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                words = text.split(" ")
+                acc = np.zeros(bits, dtype=np.int64)
+                for w in words:
+                    h = _fnv1a64(w)
+                    bitvec = (h >> np.arange(bits, dtype=np.uint64)) & 1
+                    acc += np.where(bitvec.astype(bool), 1, -1)
+                sig = 0
+                for i in range(bits):
+                    if acc[i] > 0:
+                        sig |= 1 << i
+                out.append(np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _sim, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit signature into 4 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), bucket-join on
+    chunk value, verify with JVM ``bit_count(xor)``."""
+    sigs = simhash_signatures(docs, text_col)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        "chunk_idx",
+        "chunk_val",
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+    )
+    b = chunks.select(
+        "chunk_idx",
+        "chunk_val",
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+    )
+    cands = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators for the training-data pipeline.
+
+These are the large-scale corpus operations a 100 TB extraction pipeline
+feeds: token counting, quality scoring, document fingerprinting, and
+language identification. Everything stays JVM-side (built-in
+``pyspark.sql.functions``, whole-stage codegen) — no Python in the hot path.
+Integer-safe formulas are used wherever a DuckDB differential oracle checks
+the values (float rounding differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_project_spark.datagen import LANG_MARKERS
+
+# BPE-ish token pattern: word pieces or single non-space punctuation.
+TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+# The body vocabulary's function words (used for the stopword-ratio feature).
+STOPWORDS = ("a", "the")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/word-shape quality features, integer-safe for oracle checks.
+
+    ``avg_word_len_x100`` is average word length ×100 under integer division;
+    ``stopword_hits`` counts function-word occurrences. A downstream filter
+    (quality gate) would threshold on these columns.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    chars_no_space = F.length(F.regexp_replace(t, " ", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        F.floor(chars_no_space * 100 / n_words).cast("long").alias(
+            "avg_word_len_x100"
+        ),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.floor(stop_hits * 10000 / n_words).cast("long").alias(
+            "stopword_ratio_x10000"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 4) -> DataFrame:
+    """Document fingerprints: full-text md5 plus a shingle fingerprint —
+    the lexicographic minimum of the md5s of all word ``shingle``-grams
+    (a winnowing-style content fingerprint robust to boundary edits).
+    Pure JVM expression: sequence → transform → array_min.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, shingle))),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(t).alias("md5_fingerprint"),
+        F.array_min(grams).alias("shingle_fingerprint"),
+    )
+
+
+def lang_id(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Language identification from boilerplate chrome vocabulary.
+
+    Counts per-language marker occurrences in the raw payload (navigation /
+    footer words are the strongest language signal on web pages — body text
+    here shares one vocabulary across languages by construction) and picks
+    the argmax. JVM-side: decode → per-lang occurrence counts via
+    length-difference, argmax via greatest/when chain.
+    """
+    text = F.decode(F.col(payload_col), "UTF-8")
+
+    def hits(lang: str):
+        h = F.lit(0)
+        for marker in LANG_MARKERS[lang]:
+            occ = (
+                F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+            ) / F.length(F.lit(marker))
+            h = h + occ
+        return h.cast("long")
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = {lang: hits(lang) for lang in langs}
+    best = F.greatest(*[hit_cols[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    # alphabetical-first deterministic tiebreak
+    for lang in reversed(langs):
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    return pages.select("doc_id", pred.alias("pred_lang"))
