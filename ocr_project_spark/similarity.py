@@ -71,31 +71,43 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    rng = np.random.default_rng(HYPERPLANE_SEED)
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(HYPERPLANE_SEED + table)
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket(embeddings: DataFrame, n_planes: int = 6, dim: int = 64) -> DataFrame:
-    """Sign-random-projection bucket id per vector (vectorized numpy over
-    Arrow batches: one matmul per batch)."""
-    planes = _hyperplanes(dim, n_planes)
+def lsh_bucket(
+    embeddings: DataFrame, n_planes: int = 6, dim: int = 64, n_tables: int = 1
+) -> DataFrame:
+    """Sign-random-projection bucket ids per vector, one row per (vector,
+    table). Vectorized numpy over Arrow batches: one matmul per (batch,
+    table). With ``n_tables=1`` this is plain single-table SRP-LSH; more
+    tables trade candidate volume for recall (union of per-table buckets).
+    """
+    planes = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    weights = 1 << np.arange(n_planes)
 
     def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mat = np.vstack(pdf["embedding"].to_numpy())
-            signs = (mat @ planes.T) > 0
-            buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "bucket": buckets.astype(np.int64),
-                    "embedding": pdf["embedding"],
-                }
-            )
+            frames = []
+            for t, pl in enumerate(planes):
+                signs = (mat @ pl.T) > 0
+                buckets = (signs * weights).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "table": t,
+                            "bucket": buckets.astype(np.int64),
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        _bucket, schema="vec_id long, bucket long, embedding array<float>"
+        _bucket, schema="vec_id long, table int, bucket long, embedding array<float>"
     )
 
 
@@ -105,31 +117,40 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     dim: int = 64,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket.
+    """Approximate top-k: rank only candidates sharing an LSH bucket with the
+    query in at least one of ``n_tables`` independent hash tables.
 
-    The corpus-side bucket assignment is one narrow pass; the join shuffles
-    on the bucket key (corpus/2^n_planes rows per bucket on average).
-    Recall vs :func:`brute_force_topk` is asserted in tests.
+    The corpus-side bucket assignment is one narrow pass (n_tables rows per
+    vector); the join shuffles on the (table, bucket) key, ~n_tables ×
+    corpus / 2^n_planes candidates per query before dedup. Recall vs
+    :func:`brute_force_topk` is asserted in tests; raise ``n_tables`` (or
+    lower ``n_planes``) for more recall at more cost.
     """
-    corpus_b = lsh_bucket(embeddings, n_planes, dim).select(
+    corpus_b = lsh_bucket(embeddings, n_planes, dim, n_tables).select(
         F.col("vec_id").alias("neighbor_id"),
+        "table",
         "bucket",
         F.col("embedding").cast("array<double>").alias("vec_n"),
     )
-    query_b = lsh_bucket(queries, n_planes, dim).select(
+    query_b = lsh_bucket(queries, n_planes, dim, n_tables).select(
         F.col("vec_id").alias("query_id"),
+        "table",
         "bucket",
         F.col("embedding").cast("array<double>").alias("vec_q"),
     )
-    scored = corpus_b.join(F.broadcast(query_b), "bucket").where(
-        F.col("neighbor_id") != F.col("query_id")
+    cands = (
+        corpus_b.join(F.broadcast(query_b), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        # a pair found by several tables is scored once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.select(
+        cands.select(
             "query_id",
             "neighbor_id",
             _cosine(F.col("vec_q"), F.col("vec_n")).alias("cosine"),

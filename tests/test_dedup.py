@@ -1,0 +1,119 @@
+"""Deduplication-family tests over a crafted corpus with known duplicate
+structure: exact dups, near-dups (one-word edits), and unrelated docs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_project_spark.dedup import (
+    exact_dup_groups,
+    minhash_candidate_pairs,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    prefix_dup_groups,
+    shingle_sets,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+
+BASE = " ".join(f"tok{i}" for i in range(60))
+NEAR = BASE.replace("tok30", "edited")  # one-word edit → jaccard ≈ 0.9
+FAR = " ".join(f"other{i}" for i in range(60))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),  # exact dup of 0
+        (2, NEAR, "en"),  # near dup of 0/1
+        (3, FAR, "en"),  # unrelated
+        (4, BASE, "de"),  # exact text dup of 0, different block
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dup_groups(corpus):
+    groups = exact_dup_groups(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 0
+    assert groups[0]["n_copies"] == 3  # docs 0, 1, 4
+
+
+def test_prefix_dup_groups(corpus):
+    groups = prefix_dup_groups(corpus).collect()
+    # BASE/NEAR share the 4-word prefix (edit is at word 30)
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 4
+
+
+def test_shingle_sets_shape(corpus):
+    row = shingle_sets(corpus).where(F.col("doc_id") == 0).collect()[0]
+    assert len(row["shingles"]) == 58  # 60 words → 58 distinct 3-grams
+    assert "tok0 tok1 tok2" in row["shingles"]
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert 0.8 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs  # unrelated
+    assert (0, 4) not in pairs  # different block (lang)
+
+
+def test_minhash_exact_dup_identical_signatures(corpus):
+    sigs = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(shingle_sets(corpus)).collect()
+    }
+    assert sigs[0] == sigs[1] == sigs[4]
+    assert sigs[0] != sigs[3]
+    # near-dup signatures agree on most components (jaccard ≈ estimate)
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree >= len(sigs[0]) * 0.6
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(corpus, threshold=0.5).collect()
+    }
+    # all exact and near pairs recovered, no unrelated pair survives verify
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_candidates_never_cross_unrelated(corpus):
+    sigs = minhash_signatures(shingle_sets(corpus))
+    cands = minhash_candidate_pairs(sigs).collect()
+    assert all(3 not in (r["id_a"], r["id_b"]) for r in cands)
+
+
+def test_simhash_exact_dup_identical(corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[1] == sigs[4]
+
+
+def test_simhash_near_dup_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(corpus, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+    assert not any(3 in p for p in pairs)
+
+
+def test_exact_dedup_on_real_documents(documents):
+    """On the driver corpus: groups are consistent with groupBy-count."""
+    dup_rows = (
+        documents.groupBy("text").count().where(F.col("count") > 1).count()
+    )
+    assert exact_dup_groups(documents).count() == dup_rows

@@ -1,0 +1,122 @@
+"""Dispatch / validation / error-semantics tests (SURVEY §2.2 R1-R4, §2.5 P7).
+
+Pure-Python checks on the registry arms plus Spark-level dispatch through the
+mapInPandas extraction operator, mirroring the reference's contract tests
+(deployment/test_phase3_web_client.sh:118-182: invalid backend rejected,
+required fields present, both backends respond, invalid payload handled).
+"""
+
+from __future__ import annotations
+
+from ocr_project_spark.contract import (
+    BACKEND_HTML,
+    BACKEND_LAYOUT,
+    ERR_MODEL_NOT_LOADED,
+)
+from ocr_project_spark.datagen import build_html, build_pagedoc
+from ocr_project_spark.kernels.registry import (
+    BACKEND_REGISTRY,
+    process_html_arm,
+    process_layout_arm,
+)
+from ocr_project_spark.operators.extract import extract_documents
+
+TEXT = " ".join(f"word{i}" for i in range(40))
+
+
+def test_registry_names_match_reference():
+    assert set(BACKEND_REGISTRY) == {"deepseek-ocr", "mineru"}
+
+
+def test_html_arm_success_contract():
+    res = process_html_arm(build_html(2, TEXT, "en").encode())
+    assert res.success and res.backend == BACKEND_HTML
+    assert res.text == TEXT
+    assert res.page_count == 3  # doc 2 → 1 + 2%3 = 3 pages
+    assert res.processed_pages == [1, 2, 3]
+    assert res.file_type == "pdf"
+    assert "<--- Page 1 --->" in res.markdown
+    assert res.spans  # html arm emits spans
+    assert res.error is None
+
+
+def test_html_arm_single_page_is_image_path():
+    res = process_html_arm(build_html(0, "short doc only", "en").encode())
+    assert res.file_type == "image"
+    assert res.processed_pages == [1]
+    # image path: markdown is the P2 projection (no page separator)
+    assert "<--- Page" not in res.markdown
+    assert res.markdown == "short doc only"
+
+
+def test_html_arm_error_shape():
+    res = process_html_arm(b"<html><body></body></html>")
+    assert not res.success
+    assert res.markdown == "OCR processing failed: no text blocks detected in document"
+    assert res.text == "" and res.raw_output == ""
+
+
+def test_layout_arm_success_contract():
+    res = process_layout_arm(build_pagedoc(1, TEXT, "en").encode())
+    assert res.success and res.backend == BACKEND_LAYOUT
+    assert res.text == TEXT
+    assert res.page_count == 2  # doc 1 → 2 pages
+    assert res.spans == []  # mineru arm has no spans (boxes stub returns "")
+    raw = res.raw_output
+    assert '"middle_json"' in raw and '"language": "ch"' in raw
+
+
+def test_layout_arm_error_shape():
+    res = process_layout_arm(b"PAGEDOC1\n{bad json")
+    assert not res.success
+    assert res.markdown.startswith("OCR processing failed: invalid PAGEDOC")
+
+
+def test_page_selection_divergence_through_arms():
+    html = build_html(2, TEXT, "en").encode()  # 3 pages, html arm
+    pd_payload = build_pagedoc(2, TEXT, "en").encode()
+    exact = process_html_arm(html, [1, 3])
+    ranged = process_layout_arm(pd_payload, [1, 3])
+    assert exact.processed_pages == [1, 3]  # DeepSeek: exact set
+    assert ranged.processed_pages == [1, 2, 3]  # MinerU: min..max range
+
+
+def test_spark_dispatch_and_rejects(spark):
+    rows = [
+        ("u1", build_html(0, "alpha beta gamma", "en").encode(), BACKEND_HTML, 0),
+        ("u2", build_pagedoc(1, "delta epsilon zeta", "en").encode(), BACKEND_LAYOUT, 1),
+        ("u3", b"payload", "no-such-backend", 2),
+        ("u4", b"", BACKEND_HTML, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, backend string, doc_id long"
+    )
+    out = {r["url"]: r for r in extract_documents(df).collect()}
+    assert out["u1"]["success"] and out["u1"]["text"] == "alpha beta gamma"
+    assert out["u2"]["success"] and out["u2"]["text"] == "delta epsilon zeta"
+    assert not out["u3"]["success"]
+    assert "Invalid backend: no-such-backend" in out["u3"]["error"]
+    assert "deepseek-ocr, mineru" in out["u3"]["error"]
+    assert not out["u4"]["success"]
+    assert out["u4"]["error"] == "No document payload provided"
+
+
+def test_spark_model_gate(spark):
+    df = spark.createDataFrame(
+        [("u1", build_html(0, "alpha beta", "en").encode(), BACKEND_HTML, 0)],
+        "url string, html binary, backend string, doc_id long",
+    )
+    row = extract_documents(df, model_loaded={BACKEND_HTML: False}).collect()[0]
+    assert not row["success"]
+    assert row["error"] == ERR_MODEL_NOT_LOADED
+    assert row["markdown"] == ERR_MODEL_NOT_LOADED
+
+
+def test_spark_page_selection_column(spark):
+    df = spark.createDataFrame(
+        [("u1", build_html(2, TEXT, "en").encode(), BACKEND_HTML, 2, [1, 3])],
+        "url string, html binary, backend string, doc_id long, pages array<int>",
+    )
+    row = extract_documents(df).collect()[0]
+    assert row["processed_pages"] == [1, 3]
+    assert row["page_count"] == 3

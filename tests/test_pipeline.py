@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests: the north-rule byte-identity invariant, error
+rows, lineage, and health rollup over the synthesized sf0.001 pages table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_project_spark.datagen import MALFORMED_MOD, MALFORMED_REM
+from ocr_project_spark.operators.lineage import health_rollup, lineage_rows
+
+
+def test_byte_identity_per_url(results, documents):
+    """North rule: extracted text byte-identical per url for every
+    well-formed document; malformed docs fail with error rows."""
+    joined = results.join(
+        documents.select("doc_id", F.col("text").alias("truth")), "doc_id"
+    )
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("success").cast("int")).alias("n_ok"),
+        F.sum((F.col("success") & (F.col("text") == F.col("truth"))).cast("int")).alias(
+            "n_identical"
+        ),
+    ).collect()[0]
+    n_malformed = documents.where(
+        F.col("doc_id") % MALFORMED_MOD == MALFORMED_REM
+    ).count()
+    assert agg["n"] == documents.count()
+    assert agg["n_ok"] == agg["n"] - n_malformed
+    assert agg["n_identical"] == agg["n_ok"]  # every success is byte-identical
+
+
+def test_markdown_never_empty_on_success(results):
+    bad = results.where(
+        F.col("success") & ((F.col("markdown").isNull()) | (F.length("markdown") == 0))
+    ).count()
+    assert bad == 0
+
+
+def test_error_rows_shape(results):
+    errs = results.where(~F.col("success"))
+    assert errs.where(F.col("error").isNull()).count() == 0
+    assert errs.where(F.col("text") != "").count() == 0
+
+
+def test_span_counts_match_paragraphs(results, documents):
+    """html arm emits one span per extracted paragraph block."""
+    n_paras = F.ceil(F.size(F.split(F.col("text"), " ")) / 8).cast("int")
+    expected = documents.select("doc_id", n_paras.alias("n_paras"))
+    got = results.where(F.col("success") & (F.col("backend") == "deepseek-ocr")).select(
+        "doc_id", F.size("spans").alias("n_spans")
+    )
+    mismatches = got.join(expected, "doc_id").where(
+        F.col("n_spans") != F.col("n_paras")
+    )
+    assert mismatches.count() == 0
+
+
+def test_processed_pages_sorted_and_complete(results):
+    bad = results.where(
+        F.col("success")
+        & (
+            (F.size("processed_pages") != F.col("page_count"))
+            | (F.col("processed_pages") != F.array_sort("processed_pages"))
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_lineage_partition_counts(results):
+    lin = lineage_rows(results)
+    rolled = lin.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_success").alias("ok"),
+        F.sum("n_failed").alias("fail"),
+    ).collect()[0]
+    totals = results.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("success").cast("long")).alias("ok"),
+    ).collect()[0]
+    assert rolled["docs"] == totals["docs"]
+    assert rolled["ok"] == totals["ok"]
+    assert rolled["fail"] == totals["docs"] - totals["ok"]
+
+
+def test_health_rollup_statuses(results):
+    status = {
+        r["backend"]: r["status"]
+        for r in health_rollup(lineage_rows(results)).collect()
+    }
+    # ~1% of docs are malformed → both backends sit at the degraded boundary
+    assert set(status) == {"deepseek-ocr", "mineru"}
+    assert all(s in {"healthy", "degraded"} for s in status.values())
+
+
+def test_backend_split_matches_datagen(results):
+    by_backend = {
+        r["backend"]: r["n"]
+        for r in results.groupBy("backend").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_backend["deepseek-ocr"] + by_backend["mineru"] == results.count()
+    # doc_id % 2 split → equal halves (500 docs: 250/250)
+    assert abs(by_backend["deepseek-ocr"] - by_backend["mineru"]) <= 1

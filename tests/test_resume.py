@@ -1,0 +1,57 @@
+"""Resume/checkpoint idempotence (north rule; SURVEY §4.2, §5 item e).
+
+Run → crash-after-half → rerun must converge to the same result set with no
+duplicates, and the rerun must actually skip completed urls (anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_project_spark.operators.resume import completed_urls, resume_filter
+from ocr_project_spark.pipeline import run_extraction, run_job
+
+
+def test_resume_filter_skips_done(spark, pages):
+    done = pages.select("url").limit(100)
+    todo = resume_filter(pages, done)
+    assert todo.count() == pages.count() - 100
+    assert todo.join(done, "url", "left_semi").count() == 0
+
+
+def test_resume_filter_cold_start(pages):
+    assert resume_filter(pages, None) is pages
+
+
+def test_completed_urls_missing_dir(spark, tmp_path):
+    assert completed_urls(spark, str(tmp_path / "nope")) is None
+
+
+def test_crash_and_rerun_converges(spark, pages, tmp_path):
+    results_path = str(tmp_path / "results")
+    full = run_extraction(pages, repartition=False)
+
+    # simulated crash: only half the urls were written in run #1
+    partial = full.where(F.xxhash64("url") % 2 == 0)
+    partial.write.mode("append").parquet(results_path)
+    n_partial = spark.read.parquet(results_path).count()
+    assert 0 < n_partial < pages.count()
+
+    # run #2 resumes from the checkpoint
+    run_job(spark, pages, results_path)
+    final = spark.read.parquet(results_path)
+    assert final.count() == pages.count()
+    # exactly-once: no url appears twice
+    assert final.groupBy("url").count().where(F.col("count") > 1).count() == 0
+    # and the recovered rows are identical to a clean full run
+    clean = {r["url"]: r["text"] for r in full.select("url", "text").collect()}
+    resumed = {r["url"]: r["text"] for r in final.select("url", "text").collect()}
+    assert resumed == clean
+
+
+def test_rerun_after_completion_is_noop(spark, pages, tmp_path):
+    results_path = str(tmp_path / "results")
+    run_job(spark, pages, results_path)
+    n1 = spark.read.parquet(results_path).count()
+    run_job(spark, pages, results_path)  # everything already done
+    assert spark.read.parquet(results_path).count() == n1

@@ -1,0 +1,77 @@
+"""Text-analysis operator tests: token counting, quality scores,
+fingerprints, and language-ID over the driver documents + synthesized pages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ocr_project_spark.textops import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+
+def test_token_counts_crafted(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! x2")], "doc_id long, text string"
+    )
+    row = token_counts(df).collect()[0]
+    assert row["n_ws_tokens"] == 3
+    # Hello , world ! x2  → 5 BPE-ish tokens (alnum runs stay whole)
+    assert row["n_bpe_tokens"] == 5
+
+
+def test_token_counts_consistency(documents):
+    joined = token_counts(documents).join(
+        documents.select("doc_id", F.size(F.split("text", " ")).alias("expected")),
+        "doc_id",
+    )
+    assert joined.where(F.col("n_ws_tokens") != F.col("expected")).count() == 0
+
+
+def test_quality_scores_crafted(spark):
+    df = spark.createDataFrame([(0, "aa bb cc the a")], "doc_id long, text string")
+    row = quality_scores(df).collect()[0]
+    assert row["n_chars"] == 14
+    assert row["n_words"] == 5
+    assert row["avg_word_len_x100"] == 200  # 10 chars / 5 words
+    assert row["stopword_hits"] == 2
+    assert row["stopword_ratio_x10000"] == 4000
+
+
+def test_fingerprints_md5(spark):
+    text = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = fingerprints(df).collect()[0]
+    assert row["md5_fingerprint"] == hashlib.md5(text.encode()).hexdigest()
+    grams = [
+        "alpha beta gamma delta",
+        "beta gamma delta epsilon",
+    ]
+    expect = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+    assert row["shingle_fingerprint"] == expect
+
+
+def test_fingerprint_robust_to_suffix_edit(spark):
+    a = " ".join(f"w{i}" for i in range(20))
+    b = a + " extra"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    assert rows[0]["md5_fingerprint"] != rows[1]["md5_fingerprint"]
+    # winnowing min-gram usually survives a boundary edit
+    assert rows[0]["shingle_fingerprint"] == rows[1]["shingle_fingerprint"]
+
+
+def test_lang_id_matches_ground_truth(pages, documents):
+    pred = lang_id(pages)
+    joined = pred.join(documents.select("doc_id", "lang"), "doc_id")
+    # malformed (truncated) payloads may lose their markers; well-formed
+    # pages must classify exactly
+    total = joined.count()
+    correct = joined.where(F.col("pred_lang") == F.col("lang")).count()
+    assert correct / total > 0.98
