@@ -1,38 +1,468 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship per-language/backend extraction rollup on
+sf0.001. ``queries()`` exposes one callable per implemented operator family
+from SURVEY.md §2 (extraction lifecycle, lineage/health, skew observability,
+backend comparison) plus the training-data operators (dedup families,
+similarity search, text analysis). ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query; the synthetic ``pages`` table is
+a pure function of the driver's ``documents`` table (see
+ocr_project_spark/datagen.py), so every extraction invariant — including
+per-document byte identity of extracted text, markdown, and span boxes — is
+re-derivable with plain SQL over ``documents``.
+
+Non-SQL-expressible ops (minhash/simhash signatures, LSH ANN) get rows-only
+checks, except dedup_minhash whose *verified output* equals the exact
+n-gram-Jaccard pairs and therefore shares that oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (ALL derived from ocr_project_spark/datagen.py's
+# pure-function construction of the pages table)
+# ---------------------------------------------------------------------------
+_BACKEND = "CASE WHEN doc_id % 2 = 0 THEN 'deepseek-ocr' ELSE 'mineru' END"
+_WELL_FORMED = "doc_id % 97 <> 13"
+_MALFORMED = "doc_id % 97 = 13"
+_N_PARAS = "cast(ceil(len(string_split(text, ' ')) / 8.0) as bigint)"
+_N_PAGES = f"least(1 + doc_id % 3, greatest({_N_PARAS}, 1))"
+
+_DEDUP_CORPUS = """
+corpus AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, regexp_replace(text, '^[^ ]+', 'zzznear'), lang
+    FROM documents
+)
+"""
+
+_JACCARD_DE_SQL = f"""
+WITH {_DEDUP_CORPUS},
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           )) AS shingles
+    FROM corpus WHERE lang = 'de'
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.shingles, b.shingles))
+           / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))
+          / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.8
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.datagen import synthesize_pages
+
+    return synthesize_pages(spark, sf_dir)
+
+
+def _results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.pipeline import run_extraction
+
+    return run_extraction(_pages(spark, sf_dir), repartition=False)
+
+
+def _dedup_corpus_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.dedup import dedup_test_corpus
+
+    return dedup_test_corpus(_docs(spark, sf_dir)).where(F.col("lang") == "de")
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+def q_flagship_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, backend) successful-extraction doc counts and byte sums."""
+    res = _results(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return (
+        res.where("success")
+        .join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .groupBy("lang", "backend")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_bytes").alias("n_bytes"))
+    )
+
+
+def q_extract_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule: extracted text must be byte-identical per document."""
+    return _results(spark, sf_dir).where("success").select("doc_id", "text")
+
+
+def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed payloads fail with the reference's exact error shapes."""
+    return (
+        _results(spark, sf_dir)
+        .where("NOT success")
+        .select("doc_id", "backend", "file_type", "markdown", "error")
+    )
+
+
+def q_page_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page decomposition/assembly: page counts and file types."""
+    return (
+        _results(spark, sf_dir)
+        .where("success")
+        .select(
+            "doc_id",
+            F.col("page_count").cast("long").alias("page_count"),
+            "file_type",
+            F.size("processed_pages").cast("long").alias("n_processed"),
+        )
+    )
+
+
+def q_span_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span boundaries (P3): one row per span for single-page html-arm docs."""
+    res = _results(spark, sf_dir)
+    return (
+        res.where("success AND backend = 'deepseek-ocr' AND page_count = 1")
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.ref").alias("ref"),
+            F.col("s.x1").cast("long").alias("x1"),
+            F.col("s.y1").cast("long").alias("y1"),
+            F.col("s.x2").cast("long").alias("x2"),
+            F.col("s.y2").cast("long").alias("y2"),
+        )
+    )
+
+
+def q_markdown_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown byte-identity where SQL-expressible: the whole layout arm
+    plus single-page html-arm docs (multi-page html markdown embeds raw
+    marker strings + page separators — covered by pytest goldens instead)."""
+    res = _results(spark, sf_dir)
+    return res.where(
+        "success AND (backend = 'mineru' OR page_count = 1)"
+    ).select("doc_id", "markdown")
+
+
+def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 health rollup over per-partition lineage rows."""
+    from ocr_project_spark.operators.lineage import health_rollup, lineage_rows
+
+    return health_rollup(lineage_rows(_results(spark, sf_dir)))
+
+
+def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew observability: per-host url counts (the hot-host pre-pass)."""
+    return (
+        _pages(spark, sf_dir)
+        .select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+def q_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 comparison fan-out: both backends on every doc, side-by-side."""
+    from ocr_project_spark.operators.compare import compare_backends
+
+    return compare_backends(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.dedup import dedup_test_corpus, exact_dup_groups
+
+    return exact_dup_groups(dedup_test_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.dedup import dedup_test_corpus, prefix_dup_groups
+
+    return prefix_dup_groups(dedup_test_corpus(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dedup_corpus_de(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs; verified output equals exact Jaccard
+    (128 hashes / 32 bands ⇒ candidate recall ≈ 1 at j ≥ 0.8)."""
+    from ocr_project_spark.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(
+        _dedup_corpus_de(spark, sf_dir), threshold=0.8, num_hashes=128, bands=32
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_dedup_corpus_de(spark, sf_dir), max_hamming=3)
+
+
+def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, emb.where("vec_id < 10"), k=5)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_topk(emb, emb.where("vec_id < 10"), k=5, n_planes=4, n_tables=8)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.textops import token_counts
+
+    out = token_counts(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.textops import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.textops import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.textops import lang_id
+
+    pages = _pages(spark, sf_dir).where("doc_id % 97 <> 13")
+    return lang_id(pages)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_rollup": q_flagship_rollup,
+        "extract_text_identity": q_extract_text_identity,
+        "extract_errors": q_extract_errors,
+        "page_rollup": q_page_rollup,
+        "span_boxes": q_span_boxes,
+        "markdown_identity": q_markdown_identity,
+        "lineage_health": q_lineage_health,
+        "host_counts": q_host_counts,
+        "backend_compare": q_backend_compare,
+        "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_brute": q_sim_topk_brute,
+        "sim_topk_lsh": q_sim_topk_lsh,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_fingerprints": q_text_fingerprints,
+        "lang_id": q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_rollup": f"""
+            SELECT lang, {_BACKEND} AS backend,
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_bytes
+            FROM documents WHERE {_WELL_FORMED}
+            GROUP BY 1, 2
+        """,
+        "extract_text_identity": f"""
+            SELECT doc_id, text FROM documents WHERE {_WELL_FORMED}
+        """,
+        "extract_errors": f"""
+            SELECT doc_id, {_BACKEND} AS backend, 'image' AS file_type,
+                   'OCR processing failed: ' || err AS markdown, err AS error
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'no text blocks detected in document'
+                            ELSE 'invalid PAGEDOC payload: truncated layout tree'
+                       END AS err
+                FROM documents WHERE {_MALFORMED}
+            )
+        """,
+        "page_rollup": f"""
+            SELECT doc_id, page_count,
+                   CASE WHEN page_count > 1 THEN 'pdf' ELSE 'image' END AS file_type,
+                   page_count AS n_processed
+            FROM (
+                SELECT doc_id, {_N_PAGES} AS page_count
+                FROM documents WHERE {_WELL_FORMED}
+            )
+        """,
+        "span_boxes": f"""
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS words, {_N_PARAS} AS n_paras
+                FROM documents
+                WHERE {_WELL_FORMED} AND doc_id % 2 = 0
+                  AND {_N_PAGES} = 1
+            ),
+            s AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(1, n_paras)) AS i
+                FROM d
+            )
+            SELECT doc_id,
+                   array_to_string(list_slice(words, (i - 1) * 8 + 1, i * 8), ' ') AS ref,
+                   CAST(40 AS BIGINT) AS x1,
+                   CAST(least(40 + (i - 1) * 60, 930) AS BIGINT) AS y1,
+                   CAST(959 AS BIGINT) AS x2,
+                   CAST(least(least(40 + (i - 1) * 60, 930) + 50, 980) AS BIGINT) AS y2
+            FROM s
+        """,
+        "markdown_identity": f"""
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS words, {_N_PARAS} AS n_paras
+                FROM documents WHERE {_WELL_FORMED}
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           generate_series(1, n_paras),
+                           i -> array_to_string(
+                               list_slice(words, (i - 1) * 8 + 1, i * 8), ' ')
+                       ),
+                       chr(10) || chr(10)
+                   ) AS markdown
+            FROM d
+            WHERE doc_id % 2 = 1
+               OR least(1 + doc_id % 3, greatest(n_paras, 1)) = 1
+        """,
+        "lineage_health": f"""
+            WITH l AS (
+                SELECT {_BACKEND} AS backend,
+                       count(*) AS n_docs,
+                       CAST(sum(CASE WHEN {_WELL_FORMED} THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_success,
+                       CAST(sum(CASE WHEN {_MALFORMED} THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_failed,
+                       CAST(sum(CASE WHEN {_WELL_FORMED} THEN n_chars ELSE 0 END)
+                            AS BIGINT) AS n_bytes
+                FROM documents GROUP BY 1
+            )
+            SELECT backend, n_docs, n_success, n_failed, n_bytes,
+                   CASE WHEN n_failed / CAST(n_docs AS DOUBLE) >= 0.5 THEN 'unhealthy'
+                        WHEN n_failed / CAST(n_docs AS DOUBLE) > 0.01 THEN 'degraded'
+                        ELSE 'healthy' END AS status
+            FROM l
+        """,
+        "host_counts": """
+            SELECT CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                        ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR) || '.example.org'
+                   END AS host,
+                   count(*) AS n_urls
+            FROM documents GROUP BY 1
+        """,
+        "backend_compare": """
+            SELECT doc_id, true AS texts_agree, true AS matches_truth
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            WITH {_DEDUP_CORPUS}
+            SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_prefix": f"""
+            WITH {_DEDUP_CORPUS}
+            SELECT array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+                       AS prefix,
+                   min(doc_id) AS keeper_id, count(*) AS n_docs
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": _JACCARD_DE_SQL,
+        # the LSH-verified output equals exact Jaccard at ≥0.8 (candidate
+        # recall ≈ 1 - 1e-7 at 128 hashes / 32 bands)
+        "dedup_minhash": _JACCARD_DE_SQL,
+        # dedup_simhash: signatures are not SQL-expressible → rows-only check
+        "sim_topk_brute": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS vq
+                FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vn
+                FROM embeddings
+            ),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       list_dot_product(vq, vn)
+                           / (sqrt(list_dot_product(vq, vq))
+                              * sqrt(list_dot_product(vn, vn))) AS cosine
+                FROM q, c WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, rank, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM s
+            ) WHERE rank <= 5
+        """,
+        # sim_topk_lsh: approximate by construction → rows-only check
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(floor(length(replace(text, ' ', '')) * 100
+                        / len(string_split(text, ' '))) AS BIGINT)
+                       AS avg_word_len_x100,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w = 'a' OR w = 'the')) AS stopword_hits,
+                   CAST(floor(len(list_filter(string_split(text, ' '),
+                                              w -> w = 'a' OR w = 'the')) * 10000
+                        / len(string_split(text, ' '))) AS BIGINT)
+                       AS stopword_ratio_x10000
+            FROM documents
+        """,
+        "text_fingerprints": """
+            SELECT doc_id, md5(text) AS md5_fingerprint,
+                   list_min(list_transform(
+                       generate_series(1,
+                           greatest(len(string_split(text, ' ')) - 3, 1)),
+                       i -> md5(array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 3), ' '))
+                   )) AS shingle_fingerprint
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, lang AS pred_lang FROM documents WHERE {_WELL_FORMED}
+        """,
+    }

@@ -25,6 +25,27 @@ from pyspark.sql import DataFrame, functions as F
 MINHASH_SEED = 0x5EED
 SIMHASH_SEED = 0xCAFE
 
+NEAR_DUP_MARKER = "zzznear"
+EXACT_DUP_OFFSET = 100_000
+NEAR_DUP_OFFSET = 200_000
+
+
+def dedup_test_corpus(docs: DataFrame) -> DataFrame:
+    """Derived corpus with known duplicate structure for differential checks:
+    the original documents, an exact copy of each (doc_id + 100000), and a
+    first-word-edited near-dup of each (doc_id + 200000). The construction is
+    a pure SQL expression so the DuckDB oracle reproduces it verbatim."""
+    base = docs.select("doc_id", "text", "lang")
+    exact = base.select(
+        (F.col("doc_id") + EXACT_DUP_OFFSET).alias("doc_id"), "text", "lang"
+    )
+    near = base.select(
+        (F.col("doc_id") + NEAR_DUP_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", "^[^ ]+", NEAR_DUP_MARKER).alias("text"),
+        "lang",
+    )
+    return base.unionByName(exact).unionByName(near)
+
 
 def exact_dup_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
