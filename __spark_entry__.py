@@ -162,13 +162,11 @@ def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew observability: per-host url counts (the hot-host pre-pass)."""
-    return (
-        _pages(spark, sf_dir)
-        .select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n_urls"))
-    )
+    """Per-host url counts via the salted two-stage aggregation (the skew
+    path a host-keyed stage uses at scale; results equal plain groupBy)."""
+    from ocr_project_spark.operators.skew import salted_host_counts
+
+    return salted_host_counts(_pages(spark, sf_dir))
 
 
 def q_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +216,19 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(emb, emb.where("vec_id < 10"), k=5)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
+def q_sim_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over a derived corpus with planted exact
+    copies (vec_id + 100000): LSH candidates + exact-cosine verify."""
+    from ocr_project_spark.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    out = embedding_near_dup_pairs(corpus, threshold=0.95)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_brute": q_sim_topk_brute,
         "sim_topk_lsh": q_sim_topk_lsh,
+        "sim_embed_near_dup": q_sim_embed_near_dup,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_fingerprints": q_text_fingerprints,
@@ -430,6 +442,25 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         # sim_topk_lsh: approximate by construction → rows-only check
+        "sim_embed_near_dup": """
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings
+            ),
+            s AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                           / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                    a.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                      b.embedding::DOUBLE[])))
+                           AS cosine
+                FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            FROM s WHERE cosine >= 0.95
+        """,
         "text_token_counts": r"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_ws_tokens,

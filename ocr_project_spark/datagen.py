@@ -205,14 +205,38 @@ PAGES_GEN_SCHEMA = (
 )
 
 
-def synthesize_pages(spark, sf_dir: str):
+REPLICA_STRIDE = 1_000_000
+
+
+def synthesize_pages(spark, sf_dir: str, replicate: int = 1, num_partitions: int | None = None):
     """Distributed pages-table synthesis: documents parquet → pages DataFrame.
 
     Runs as ``mapInPandas`` so generation scales with the input (no driver
     collect); the ``doc_id``/``backend`` columns ride along for the DuckDB
     differential oracle and dispatch tests.
-    """
+
+    ``replicate`` deterministically tiles the corpus (doc_id + k·10^6, k =
+    0..replicate-1) for benchmark scale-up — every property derived from
+    doc_id (backend, pages, host, malformed) re-derives per replica, and
+    urls stay globally unique. ``num_partitions`` spreads the small source
+    parquet before the generation pass (one file would otherwise synthesize
+    on a single task)."""
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", "text", "lang", "source").mapInPandas(
-        _synthesize_batch, schema=PAGES_GEN_SCHEMA
-    )
+    base = docs.select("doc_id", "text", "lang", "source")
+    if replicate > 1:
+        base = base.select(
+            F.explode(
+                F.array(*[F.lit(k * REPLICA_STRIDE) for k in range(replicate)])
+            ).alias("off"),
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+        ).select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"), "text", "lang", "source"
+        )
+    if num_partitions:
+        base = base.repartition(num_partitions)
+    return base.mapInPandas(_synthesize_batch, schema=PAGES_GEN_SCHEMA)

@@ -134,11 +134,16 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+# 31-bit Mersenne prime: (a·x + b) products of 31-bit operands fit in int64,
+# so the permutation hashing stays in vectorized numpy integer arithmetic
+# (the same scheme Spark MLlib's MinHashLSH uses with prime 2038074743).
+MINHASH_PRIME = (1 << 31) - 1
+
+
 def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    mersenne = (1 << 61) - 1
-    a = rng.integers(1, mersenne, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, mersenne, size=num_hashes, dtype=np.int64)
+    a = rng.integers(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64)
     return a, b
 
 
@@ -149,22 +154,24 @@ def minhash_signatures(
 
     Vectorized inside Arrow batches: one numpy broadcast per document
     computes all ``num_hashes`` permutation minima over the shingle hash
-    values ((a·x + b) mod p universal hashing).
-    """
+    values ((a·x + b) mod p universal hashing, p = 2^31 - 1; shingles are
+    crc32-hashed — C-speed and stable across executors, unlike python
+    ``hash`` which is per-process salted)."""
     a, b = _hash_params(num_hashes, MINHASH_SEED)
-    mersenne = (1 << 61) - 1
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zlib import crc32
+
         for pdf in batches:
             sigs = []
             for sh in pdf["shingles"]:
-                # stable 64-bit shingle hashes (python hash is salted; use
-                # numpy-friendly FNV-1a over utf-8 bytes)
-                hv = np.array(
-                    [_fnv1a64(s) for s in sh], dtype=np.uint64
-                ).astype(np.int64)
-                prod = (hv[None, :].astype(object) * a[:, None] + b[:, None]) % mersenne
-                sigs.append(prod.min(axis=1).astype(np.int64))
+                hv = np.fromiter(
+                    (crc32(s.encode("utf-8")) & 0x7FFFFFFF for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                prod = (hv[None, :] * a[:, None] + b[:, None]) % MINHASH_PRIME
+                sigs.append(prod.min(axis=1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
 
     return shingled.mapInPandas(_sign, schema="doc_id long, signature array<long>")
@@ -276,20 +283,21 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document, vectorized numpy over Arrow batches."""
 
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
                 words = text.split(" ")
-                acc = np.zeros(bits, dtype=np.int64)
-                for w in words:
-                    h = _fnv1a64(w)
-                    bitvec = (h >> np.arange(bits, dtype=np.uint64)) & 1
-                    acc += np.where(bitvec.astype(bool), 1, -1)
-                sig = 0
-                for i in range(bits):
-                    if acc[i] > 0:
-                        sig |= 1 << i
+                hv = np.fromiter(
+                    (_fnv1a64(w) for w in words), dtype=np.uint64, count=len(words)
+                )
+                # (n_words, bits) bit matrix → per-bit ±1 vote sums, one
+                # vectorized pass per document
+                bitmat = (hv[:, None] >> bit_idx[None, :]) & 1
+                acc = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+                sig = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
                 out.append(np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 

@@ -75,8 +75,21 @@ def _error(backend: str, file_type: str, err: str) -> DocResult:
     )
 
 
+# M3 — extraction modes (reference: process/config.py:27-37 prompt
+# templates). ``grounding`` (the active PROMPT, '<|grounding|>Convert the
+# document to markdown.') emits the marker surface format; ``free`` ('Free
+# OCR.') emits plain text with no span markers — the same P2 projection is
+# applied regardless (deepseek_ocr_backend.py:471-497), so free-mode
+# markdown faithfully degrades to the empty-result sentinel.
+MODE_GROUNDING = "grounding"
+MODE_FREE = "free"
+VALID_MODES = (MODE_GROUNDING, MODE_FREE)
+
+
 def process_html_arm(
-    payload: bytes, selected_pages: list[int] | None = None
+    payload: bytes,
+    selected_pages: list[int] | None = None,
+    mode: str = MODE_GROUNDING,
 ) -> DocResult:
     """DeepSeek-OCR-analog lifecycle (reference: deepseek_ocr_backend.py).
 
@@ -98,9 +111,13 @@ def process_html_arm(
         for page_no, blocks in pages:
             if page_no not in kept_set:
                 continue
-            markers = "\n".join(
-                make_span_marker(t, synthetic_box(i)) for i, t in enumerate(blocks)
-            )
+            if mode == MODE_FREE:
+                markers = "\n".join(blocks)
+            else:
+                markers = "\n".join(
+                    make_span_marker(t, synthetic_box(i))
+                    for i, t in enumerate(blocks)
+                )
             page_raws.append((page_no, markers))
             texts.extend(blocks)
         if file_type == FILE_TYPE_IMAGE:
@@ -136,7 +153,9 @@ def process_html_arm(
 
 
 def process_layout_arm(
-    payload: bytes, selected_pages: list[int] | None = None
+    payload: bytes,
+    selected_pages: list[int] | None = None,
+    mode: str = MODE_GROUNDING,
 ) -> DocResult:
     """MinerU-analog lifecycle (reference: mineru_backend.py).
 
@@ -144,8 +163,10 @@ def process_layout_arm(
     deliberate semantic divergence from the html arm, SURVEY §2.2 R4);
     markdown is the union_make-style blank-line join of reading-ordered
     blocks (331-333); no spans (the reference's mineru boxes stub returns "",
-    mineru_backend.py:356-373).
+    mineru_backend.py:356-373). ``mode`` is accepted and ignored — the
+    reference's MinerU arm takes no prompt (mineru_backend.py:25 fixed).
     """
+    del mode
     file_type = FILE_TYPE_IMAGE
     try:
         pages = extract_pagedoc_pages(payload)

@@ -80,6 +80,7 @@ def make_extract_fn(model_loaded: dict | None = None):
         for pdf in batches:
             has_pages = "pages" in pdf.columns
             has_doc_id = "doc_id" in pdf.columns
+            has_mode = "mode" in pdf.columns
             rows = []
             for i in range(len(pdf)):
                 url = pdf["url"].iat[i]
@@ -91,6 +92,7 @@ def make_extract_fn(model_loaded: dict | None = None):
                     raw_sel = pdf["pages"].iat[i]
                     if raw_sel is not None and len(raw_sel) > 0:
                         sel = [int(p) for p in raw_sel]
+                mode = pdf["mode"].iat[i] if has_mode else None
                 if backend not in BACKEND_REGISTRY:
                     res = _reject(
                         backend if backend is not None else "",
@@ -102,6 +104,8 @@ def make_extract_fn(model_loaded: dict | None = None):
                     res = _reject(backend, ERR_MISSING_DOCUMENT)
                 elif not gate.get(backend, True):
                     res = model_not_loaded_result(backend)
+                elif mode:
+                    res = BACKEND_REGISTRY[backend](bytes(payload), sel, mode)
                 else:
                     res = BACKEND_REGISTRY[backend](bytes(payload), sel)
                 rows.append(_result_row(url, doc_id, res))
@@ -120,7 +124,7 @@ def extract_documents(
     scan and the result sink at any scale.
     """
     cols = ["url", "html", "backend"]
-    for opt in ("doc_id", "pages"):
+    for opt in ("doc_id", "pages", "mode"):
         if opt in pages_df.columns:
             cols.append(opt)
     return pages_df.select(*cols).mapInPandas(

@@ -1,34 +1,46 @@
-"""Url-hash bucketing with salted repartitioning (north rule; SURVEY §4.1).
+"""Url-hash bucketing with salted host-key aggregation (north rule; SURVEY §4.1).
 
 At 10^12 documents, host-level skew is the dominant hazard: one hot domain
-can hold millions of pages. Urls themselves are unique, so a plain
-``xxhash64(url)`` bucket already spreads rows uniformly; the salt matters
-when downstream stages group by host (politeness, per-host stats) or when a
-bucket count far below the host count would alias hot hosts together.
+can hold millions of pages. Two distinct mechanisms defuse it:
 
-Strategy (plain DataFrame code — no planner hooks, SURVEY §4):
-1. a lightweight ``groupBy(host).count()`` pre-pass finds hot hosts (an
-   aggregation over a single string column — cheap, benefits from partial
-   aggregation and column pruning);
-2. rows from hot hosts get a deterministic per-url salt, others salt 0;
-3. ``repartition(n, bucket, salt)`` co-locates cold hosts (cache-friendly)
-   while shattering hot hosts across ``salt_buckets`` partitions.
+1. **Row placement** (`salted_repartition`): partitions are assigned by
+   ``xxhash64(url)`` — urls are unique, so placement is uniform by
+   construction and a hot host's pages spread across *all* partitions (this
+   is the salting effect the north rule's "bucketed by url-hash with salted
+   repartitioning" asks for at the extraction stage: no executor ever owns a
+   whole domain). Placement is a pure function of (url, num_partitions), so
+   re-runs place every url identically — required for resume determinism.
+   An earlier design bucketed by ``xxhash64(host)``; with far fewer distinct
+   hosts than partitions that *creates* stragglers (measured 4× slowdown at
+   local[32] on the synthetic corpus) — keys must outnumber partitions.
 
-AQE (``spark.sql.adaptive.enabled`` + skewJoin) remains on as the runtime
-backstop; this pre-pass bounds the static plan before AQE ever sees it.
+2. **Host-keyed aggregation** (`salted_host_agg` / `salted_host_counts`):
+   when a downstream stage genuinely groups by host (per-host stats,
+   politeness budgets), a plain ``groupBy(host)`` sends every hot-host row
+   to one reducer. The classic fix: a deterministic per-url salt for hot
+   hosts → partial ``groupBy(host, salt)`` → final ``groupBy(host)``. The
+   second stage shuffles one row per (host, salt) — bounded by
+   ``salt_buckets``, independent of the hot host's row count. (Catalyst's
+   partial aggregation already bounds *count-like* aggs; explicit salting is
+   the general pattern that also covers collect/median-style aggs and is
+   kept as the documented scale path.)
+
+AQE (``spark.sql.adaptive.enabled`` + skewJoin) stays on as the runtime
+backstop for join skew.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_HOT_THRESHOLD = 0.01  # a host holding >1% of all rows is "hot"
+DEFAULT_SALT_BUCKETS = 16
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return df.withColumn(
-        "host", F.parse_url(F.col(url_col), F.lit("HOST"))
-    )
+    return df.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
 
 
 def hot_hosts(
@@ -48,33 +60,65 @@ def hot_hosts(
 
 
 def salted_repartition(
-    df: DataFrame,
-    num_partitions: int,
+    df: DataFrame, num_partitions: int, url_col: str = "url"
+) -> DataFrame:
+    """Deterministic uniform repartition on the url hash (shuffle-once).
+
+    ``xxhash64(url)`` has ~row-count distinct values, so partitions balance
+    to the multinomial limit regardless of host skew, and every url lands on
+    the same partition across re-runs (resume determinism)."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(url_col)))
+
+
+def host_salt(
     url_col: str = "url",
-    salt_buckets: int = 16,
+    hot_col: str = "__is_hot",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> Column:
+    """Deterministic per-url salt: spreads hot-host rows over
+    ``salt_buckets`` partial-aggregation keys, keeps cold hosts on salt 0."""
+    return F.when(
+        F.col(hot_col), F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    ).otherwise(F.lit(0))
+
+
+def salted_host_agg(
+    df: DataFrame,
+    partial_aggs: Sequence[Column],
+    final_aggs: Callable[[], Sequence[Column]],
+    url_col: str = "url",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
     hot: DataFrame | None = None,
 ) -> DataFrame:
-    """Repartition by (url-hash bucket, salt): deterministic, shuffle-once.
+    """Two-stage host aggregation with hot-host salting.
 
-    ``hot`` is the hot-host DataFrame from :func:`hot_hosts`; when omitted it
-    is computed in-line. The salt is ``xxhash64(url) % salt_buckets`` for hot
-    hosts and 0 otherwise, so re-runs place every url in the same partition
-    (required for resume determinism).
-    """
+    ``partial_aggs`` aggregate within (host, salt); ``final_aggs()`` combine
+    the ≤ ``salt_buckets`` partials per host. ``hot`` is the broadcastable
+    hot-host set from :func:`hot_hosts` (computed inline when omitted)."""
     if hot is None:
         hot = hot_hosts(df, url_col)
-    with_h = with_host(df, url_col)
-    marked = with_h.join(
-        F.broadcast(hot.withColumn("__is_hot", F.lit(True))), "host", "left"
+    marked = with_host(df, url_col).join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), "host", "left"
     )
-    salted = marked.withColumn(
-        "__salt",
-        F.when(
-            F.col("__is_hot").isNotNull(),
-            F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets)),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "__bucket", F.pmod(F.xxhash64(F.col("host")), F.lit(num_partitions))
+    salted = marked.withColumn("__is_hot", F.col("__hot").isNotNull()).withColumn(
+        "__salt", host_salt(url_col, "__is_hot", salt_buckets)
     )
-    out = salted.repartition(num_partitions, F.col("__bucket"), F.col("__salt"))
-    return out.drop("__salt", "__bucket", "__is_hot", "host")
+    partial = salted.groupBy("host", "__salt").agg(*partial_aggs)
+    return partial.groupBy("host").agg(*final_aggs())
+
+
+def salted_host_counts(
+    df: DataFrame,
+    url_col: str = "url",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Per-host url counts via the salted two-stage aggregation."""
+    return salted_host_agg(
+        df,
+        partial_aggs=[F.count(F.lit(1)).alias("__partial")],
+        final_aggs=lambda: [F.sum("__partial").alias("n_urls")],
+        url_col=url_col,
+        salt_buckets=salt_buckets,
+        hot=hot,
+    )

@@ -19,7 +19,7 @@ def build_session(
     app_name: str = "ocr-project-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_size: int = 512,
+    arrow_batch_size: int = 2048,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -37,6 +37,6 @@ def build_session(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     )
     return builder.getOrCreate()

@@ -24,6 +24,46 @@ from pyspark.sql import DataFrame, Window, functions as F
 HYPERPLANE_SEED = 0x91A  # deterministic LSH seed
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation (union over ``n_tables`` sign-random-projection tables) with
+    exact-cosine verification of candidates only.
+
+    High-cosine pairs almost surely share a bucket in some table (a pair at
+    cosine c collides per table with prob (1 - acos(c)/π)^n_planes; at
+    c ≥ 0.95 and 6 planes that's ≥ 0.63 per table → miss prob ≤ 4e-5 with 8
+    tables), so the join shuffles candidate pairs, never all-pairs — the
+    100 TB path. Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    bucketed = lsh_bucket(embeddings, n_planes, dim, n_tables)
+    a = bucketed.select(
+        "table",
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("vec_a"),
+    )
+    b = bucketed.select(
+        "table",
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vec_b"),
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select(
+        "id_a", "id_b", _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
 def _cosine(vec_a, vec_b):
     dot = F.aggregate(
         F.zip_with(vec_a, vec_b, lambda x, y: x * y),

@@ -72,6 +72,35 @@ def test_layout_arm_error_shape():
     assert res.markdown.startswith("OCR processing failed: invalid PAGEDOC")
 
 
+def test_free_mode_plain_raw_output():
+    """M3: 'Free OCR.' mode emits plain text with no span markers; the P2
+    projection then faithfully degrades to the reference sentinel on the
+    single-page (image) path."""
+    res = process_html_arm(build_html(0, "short doc only", "en").encode(), mode="free")
+    assert res.success
+    assert res.raw_output == "short doc only"
+    assert res.spans == []
+    assert res.markdown == "No text extracted from OCR output"
+    assert res.text == "short doc only"  # extraction invariant unaffected
+
+
+def test_free_mode_multi_page_keeps_separators():
+    res = process_html_arm(build_html(2, TEXT, "en").encode(), mode="free")
+    assert res.success
+    assert "<--- Page 1 --->" in res.markdown
+    assert "<|ref|>" not in res.markdown
+
+
+def test_free_mode_via_mode_column(spark):
+    df = spark.createDataFrame(
+        [("u1", build_html(0, "alpha beta", "en").encode(), BACKEND_HTML, 0, "free")],
+        "url string, html binary, backend string, doc_id long, mode string",
+    )
+    row = extract_documents(df).collect()[0]
+    assert row["raw_output"] == "alpha beta"
+    assert row["spans"] == []
+
+
 def test_page_selection_divergence_through_arms():
     html = build_html(2, TEXT, "en").encode()  # 3 pages, html arm
     pd_payload = build_pagedoc(2, TEXT, "en").encode()

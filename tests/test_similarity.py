@@ -8,7 +8,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from ocr_project_spark.similarity import brute_force_topk, lsh_bucket, lsh_topk
+from ocr_project_spark.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket,
+    lsh_topk,
+)
 
 K = 5
 N_QUERIES = 10
@@ -84,6 +89,20 @@ def test_lsh_topk_recall(embeddings, queries):
     assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
     # and every approx neighbor scores a valid cosine (subset sanity)
     assert all(q != n for q, n in approx)
+
+
+def test_embedding_near_dup_finds_planted_copies(embeddings):
+    """Planted exact copies (vec_id + 100000) must all be recovered with
+    cosine ≈ 1; no natural pair reaches the threshold (max ≈ 0.51)."""
+    corpus = embeddings.select("vec_id", "embedding").unionByName(
+        embeddings.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.95).collect()
+    n = embeddings.count()
+    assert len(pairs) == n
+    for r in pairs:
+        assert r["id_b"] == r["id_a"] + 100000
+        assert r["cosine"] > 0.999
 
 
 def test_lsh_more_tables_more_recall(embeddings, queries):

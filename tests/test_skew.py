@@ -1,8 +1,8 @@
-"""Skew-defusal tests (north rule: url-hash bucketing + salted repartition).
+"""Skew-defusal tests (north rule: url-hash bucketing + salted host aggs).
 
-The datagen plants a hot host holding 30% of all urls; the salted
-repartition must shatter it across partitions while keeping placement
-deterministic across runs (required for resume).
+The datagen plants a hot host holding 30% of all urls; url-hash placement
+must spread it across partitions deterministically, and the salted two-stage
+host aggregation must produce exact counts with bounded reducer keys.
 """
 
 from __future__ import annotations
@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ocr_project_spark.datagen import HOT_HOST
-from ocr_project_spark.operators.skew import hot_hosts, salted_repartition
+from ocr_project_spark.operators.skew import (
+    hot_hosts,
+    salted_host_counts,
+    salted_repartition,
+    with_host,
+)
 
 N_PARTS = 8
 
@@ -29,11 +34,11 @@ def test_salted_repartition_spreads_hot_host(pages):
         .count()
         .collect()
     )
-    # the hot host (30% of rows) lands on >1 partition — without salt it
-    # would collapse onto exactly one
-    assert len(dist) > 1
+    # the hot host (30% of rows) must spread over every partition — a
+    # host-keyed placement would collapse it onto exactly one
+    assert len(dist) == N_PARTS
     counts = [r["count"] for r in dist]
-    assert max(counts) < sum(counts)  # no single partition holds it all
+    assert max(counts) < 2 * sum(counts) / N_PARTS
 
 
 def test_salted_repartition_bounds_max_partition(pages):
@@ -46,9 +51,9 @@ def test_salted_repartition_bounds_max_partition(pages):
         .collect()
     ]
     total = sum(sizes)
-    # the hot host alone is 30% of rows; salting must keep every partition
-    # well under that (2× the ideal share as the bound)
-    assert max(sizes) <= 2 * total / N_PARTS
+    assert len(sizes) == N_PARTS
+    # uniform url-hash placement: max partition within 1.5× the ideal share
+    assert max(sizes) <= 1.5 * total / N_PARTS
 
 
 def test_salted_repartition_deterministic(pages):
@@ -68,3 +73,18 @@ def test_salted_repartition_preserves_rows(pages):
     parts = salted_repartition(pages, N_PARTS)
     assert parts.count() == pages.count()
     assert set(parts.columns) == set(pages.columns)
+
+
+def test_salted_host_counts_exact(pages):
+    """The salted two-stage aggregation returns exactly the plain groupBy
+    counts (salting must never change results, only key distribution)."""
+    expected = {
+        r["host"]: r["n"]
+        for r in with_host(pages)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["host"]: r["n_urls"] for r in salted_host_counts(pages).collect()}
+    assert got == expected
+    assert got[HOT_HOST] > 0.25 * sum(expected.values())
