@@ -124,9 +124,16 @@ def main() -> None:
     spark = build_session(app_name="ocr-project-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # the sf tables are single parquet files → single input split; spread
+    # them so the operator suite actually parallelizes (at scale the input
+    # arrives in many splits by construction)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus).cache()
+    )
     n_base_docs = docs.count()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus).cache()
+    )
     emb.count()
 
     # materialize a small synthesized pages table for the non-headline suite

@@ -185,58 +185,58 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
+def minhash_band_rows(
+    signatures: DataFrame, bands: int = 16
+) -> DataFrame:
+    """(doc_id, signature) → one (doc_id, band_idx, band_hash) row per band.
+
+    Band hashes are computed inside the same Arrow pass as the signatures
+    live in (crc32 over the band's int64 bytes — C-speed, stable across
+    executors). Keeping this in numpy instead of a nested JVM
+    transform/slice expression avoids a multi-second whole-stage-codegen
+    compile of a giant generated class (measured 20 s first-run overhead)."""
+
+    def _band(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zlib import crc32
+
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_idx: list[int] = []
+            out_hash: list[int] = []
+            for doc_id, sig in zip(pdf["doc_id"], pdf["signature"]):
+                arr = np.asarray(sig, dtype=np.int64)
+                r = max(len(arr) // bands, 1)
+                for b in range(bands):
+                    out_doc.append(doc_id)
+                    out_idx.append(b)
+                    out_hash.append(crc32(arr[b * r : (b + 1) * r].tobytes()))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band_idx": out_idx, "band_hash": out_hash}
+            )
+
+    return signatures.mapInPandas(
+        _band, schema="doc_id long, band_idx int, band_hash long"
+    )
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame, bands: int = 16
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` rows, bucket-join on
-    (band index, band hash). The explode is 1→bands (bounded fan-out) and the
-    groupBy shuffles one small row per (doc, band) — linear in corpus size.
-    Buckets with a single member produce no pairs.
+    """LSH banding: one row per (doc, band), bucket self-join on
+    (band index, band hash). The fan-out is 1→bands (bounded) and the join
+    shuffles one small row per (doc, band) — linear in corpus size; buckets
+    with a single member produce no pairs. Same shape as the simhash chunk
+    join; AQE's skew-join split is the backstop for a degenerate hot bucket.
     """
-    sig_len_expr = F.size("signature")
-    rows_per_band = (sig_len_expr / bands).cast("int")
-    banded = signatures.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                "signature", bi * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+    banded = minhash_band_rows(signatures, bands)
+    a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
+    b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    buckets = banded.groupBy("band_idx", "band_hash").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("members")
-    )
-    pairs = buckets.where(F.size("members") > 1).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("members") - 2),
-                    lambda i: F.transform(
-                        F.slice(
-                            F.col("members"),
-                            i + 2,
-                            F.size("members"),
-                        ),
-                        lambda m: F.struct(
-                            F.col("members")[i].alias("id_a"), m.alias("id_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("pair")
-    )
-    return pairs.select("pair.id_a", "pair.id_b").distinct()
 
 
 def minhash_near_dup_pairs(
@@ -250,7 +250,10 @@ def minhash_near_dup_pairs(
     """Full MinHash-LSH near-dup pipeline: candidates from banding, then
     exact-jaccard verification of candidates only (LSH gives recall, the
     verify step restores precision)."""
-    shingled = shingle_sets(docs, n, text_col)
+    # shingles feed three consumers (signatures + both sides of the verify
+    # join); persist so the shingle expression runs once per partition, not
+    # three times (at scale this is a checkpoint of a derived column set)
+    shingled = shingle_sets(docs, n, text_col).persist()
     sigs = minhash_signatures(shingled, num_hashes)
     cands = minhash_candidate_pairs(sigs, bands)
     verified = (

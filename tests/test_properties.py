@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the pure kernels: the round-trip
+invariant — payload synthesis followed by extraction recovers the ground
+truth byte-identically — must hold for arbitrary word sequences and doc ids,
+not just the driver corpus.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_project_spark.datagen import build_html, build_pagedoc
+from ocr_project_spark.functions.markers import (
+    assemble_pages,
+    extract_markdown,
+    make_span_marker,
+    parse_spans,
+)
+from ocr_project_spark.kernels.html_extract import extract_html_pages
+from ocr_project_spark.kernels.layout_extract import extract_pagedoc_pages
+
+# word alphabet mirrors realistic tokens: letters, digits, a few symbols
+# that are inert in both HTML text nodes and JSON strings
+WORDS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789.,;:!?()-'\"",
+    min_size=1,
+    max_size=12,
+)
+TEXTS = st.lists(WORDS, min_size=1, max_size=120).map(" ".join)
+DOC_IDS = st.integers(min_value=0, max_value=10_000_000)
+LANGS = st.sampled_from(["en", "de", "fr", "es", "zh"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(doc_id=DOC_IDS, text=TEXTS, lang=LANGS)
+def test_html_roundtrip_property(doc_id, text, lang):
+    pages = extract_html_pages(build_html(doc_id, text, lang).encode("utf-8"))
+    recovered = " ".join(t for _, blocks in pages for t in blocks)
+    assert recovered == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(doc_id=DOC_IDS, text=TEXTS, lang=LANGS)
+def test_pagedoc_roundtrip_property(doc_id, text, lang):
+    pages = extract_pagedoc_pages(build_pagedoc(doc_id, text, lang).encode("utf-8"))
+    recovered = " ".join(t for _, blocks in pages for t in blocks)
+    assert recovered == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ref=st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,-",
+        min_size=1,
+        max_size=40,
+    ).filter(lambda s: s.strip() and not s.startswith("image")),
+    box=st.tuples(*[st.integers(min_value=0, max_value=999)] * 4),
+)
+def test_span_marker_roundtrip_property(ref, box):
+    marker = make_span_marker(ref, box)
+    assert parse_spans(marker) == [(ref, *box)]
+    assert extract_markdown(marker) == ref.strip()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    contents=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz \n",
+                min_size=0,
+                max_size=30,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_assemble_pages_property(contents, ):
+    md, processed = assemble_pages(contents)
+    assert processed == sorted(p for p, _ in contents)
+    # every page separator present, in ascending order
+    positions = [md.find(f"\n<--- Page {p} --->\n") for p in processed]
+    assert all(p >= 0 for p in positions)
+    assert positions == sorted(positions)
