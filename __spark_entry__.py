@@ -239,6 +239,17 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, n_probe cells per query);
+    approximate by construction → rows-only check; recall vs brute force is
+    asserted in tests/test_jobs_and_extras.py."""
+    from ocr_project_spark.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, emb.where("vec_id < 10"), k=5, n_cells=16, n_probe=4)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import token_counts
 
@@ -292,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_brute": q_sim_topk_brute,
         "sim_topk_lsh": q_sim_topk_lsh,
+        "sim_topk_ivf": q_sim_topk_ivf,
         "sim_embed_near_dup": q_sim_embed_near_dup,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,

@@ -250,6 +250,43 @@ def count_tiles(
     return best
 
 
+def render_boxes_svg(
+    spans: Sequence[tuple[str, int, int, int, int]],
+    width: int = 1000,
+    height: int = 1000,
+) -> str:
+    """P5 — deterministic debug rendering of span boxes.
+
+    The reference draws rectangles + labels onto the source image with
+    *random* colors and returns base64 PNG (deepseek_ocr_backend.py:499-614;
+    colors 575-576 — non-deterministic by construction, excluded from
+    identity checks per SURVEY §7.3). This batch analog renders an SVG
+    string instead: colors derive from the span index (stable), coordinates
+    are denormalized from the 0-999 grid with the reference's exact
+    int-truncation math (P4), and no image codec is needed. Debug sink only.
+    """
+    palette = ["#e6194b", "#3cb44b", "#4363d8", "#f58231", "#911eb4", "#46f0f0"]
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">'
+    ]
+    for i, (ref_text, *box) in enumerate(spans):
+        x1, y1, x2, y2 = denormalize_box(box, width, height)
+        color = palette[i % len(palette)]
+        label = (
+            ref_text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+        parts.append(
+            f'<rect x="{x1}" y="{y1}" width="{x2 - x1}" height="{y2 - y1}" '
+            f'fill="{color}" fill-opacity="0.15" stroke="{color}" '
+            f'stroke-width="2"/>'
+            f'<text x="{x1}" y="{max(y1 - 4, 10)}" font-size="12" '
+            f'fill="{color}">{label[:40]}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 def tiling_plan(width: int, height: int, image_size: int = 640) -> tuple[int, int]:
     """D2/D3 — tile grid with the small-image bypass: images that fit within a
     single tile skip tiling entirely (crop ratio (1, 1)).

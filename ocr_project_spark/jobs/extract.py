@@ -38,12 +38,18 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def main(argv=None) -> None:
+def main(argv=None, spark=None) -> None:
+    """CLI driver; ``spark`` can be injected for in-process tests (the
+    session is then left running)."""
     args = parse_args(argv)
     from ocr_project_spark.pipeline import run_job
     from ocr_project_spark.session import build_session
 
-    spark = build_session(app_name="ocr-project-spark-extract", master=args.master)
+    owns_session = spark is None
+    if owns_session:
+        spark = build_session(
+            app_name="ocr-project-spark-extract", master=args.master
+        )
     try:
         if args.synthesize_sf_dir:
             from ocr_project_spark.datagen import synthesize_pages
@@ -66,7 +72,8 @@ def main(argv=None) -> None:
             num_partitions=args.num_partitions,
         )
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

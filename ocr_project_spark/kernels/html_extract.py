@@ -55,9 +55,17 @@ class _ContentParser(HTMLParser):
         self.blocks: list[_Block] = []
         self.saw_page_container = False
 
+    def _finish_block(self):
+        blk = self.block
+        self.block = None
+        if blk is not None and blk.text.strip() and blk.link_density < LINK_DENSITY_MAX:
+            self.blocks.append(blk)
+
     def handle_starttag(self, tag, attrs):
         self.stack.append(tag)
         if tag in BOILERPLATE_TAGS:
+            # an unclosed block before boilerplate chrome ends implicitly
+            self._finish_block()
             self.boiler_depth += 1
         if tag == "a":
             self.anchor_depth += 1
@@ -69,6 +77,9 @@ class _ContentParser(HTMLParser):
                 self.page_stack.append(self.current_page)
                 self.current_page = int(page)
         if tag in BLOCK_TAGS and self.boiler_depth == 0:
+            # browsers close an open paragraph when a new block begins —
+            # real-world HTML routinely omits </p>/</li>
+            self._finish_block()
             self.block = _Block(self.current_page)
 
     def handle_endtag(self, tag):
@@ -83,11 +94,12 @@ class _ContentParser(HTMLParser):
             self.anchor_depth -= 1
         if tag == "div" and self.page_stack:
             self.current_page = self.page_stack.pop()
-        if tag in BLOCK_TAGS and self.block is not None:
-            blk = self.block
-            self.block = None
-            if blk.text.strip() and blk.link_density < LINK_DENSITY_MAX:
-                self.blocks.append(blk)
+        if tag in BLOCK_TAGS:
+            self._finish_block()
+
+    def close(self):
+        super().close()
+        self._finish_block()  # flush a block left open at document end
 
     def handle_data(self, data):
         if self.block is not None and self.boiler_depth == 0:

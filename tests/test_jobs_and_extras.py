@@ -1,0 +1,99 @@
+"""Tests for the spark-submit CLI, the IVF ANN variant, the deterministic
+SVG boxes renderer, and html-kernel robustness on messier real-world markup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import tests.conftest as c
+from ocr_project_spark.functions.markers import render_boxes_svg
+from ocr_project_spark.jobs.extract import main as extract_main
+from ocr_project_spark.kernels.html_extract import extract_html_pages
+
+
+def test_cli_end_to_end_and_resume(spark, tmp_path):
+    res = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    argv = [
+        "--synthesize-sf-dir", c.SF_DIR,
+        "--results", res,
+        "--lineage", lin,
+        "--num-partitions", "8",
+    ]
+    extract_main(argv, spark=spark)
+    out = spark.read.parquet(res)
+    n = out.count()
+    assert n == 500
+    assert out.select("url").distinct().count() == n
+    lineage = spark.read.parquet(lin)
+    assert lineage.agg(F.sum("n_docs")).collect()[0][0] == n
+    # second invocation resumes: everything done → no new rows
+    extract_main(argv, spark=spark)
+    assert spark.read.parquet(res).count() == n
+
+
+def test_cli_requires_input_source(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        extract_main(["--results", str(tmp_path / "r")], spark=spark)
+
+
+def test_ivf_topk_recall(spark):
+    from ocr_project_spark.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{c.SF_DIR}/embeddings.parquet").cache()
+    queries = emb.where("vec_id < 10")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_deterministic(spark):
+    from ocr_project_spark.similarity import ivf_centroids
+
+    emb = spark.read.parquet(f"{c.SF_DIR}/embeddings.parquet")
+    c1 = ivf_centroids(emb, n_cells=8)
+    c2 = ivf_centroids(emb, n_cells=8)
+    assert (c1 == c2).all()
+
+
+def test_render_boxes_svg_deterministic():
+    spans = [("Title", 40, 40, 959, 90), ("Body <b>", 40, 100, 959, 150)]
+    svg1 = render_boxes_svg(spans, 800, 600)
+    assert svg1 == render_boxes_svg(spans, 800, 600)
+    assert svg1.startswith("<svg") and svg1.endswith("</svg>")
+    assert svg1.count("<rect") == 2
+    assert "&lt;b&gt;" in svg1  # label escaped
+    # 0-999 grid denormalized with int truncation: 40/999*800 = 32
+    assert 'x="32"' in svg1
+
+
+def test_html_kernel_inline_markup():
+    html = (
+        b"<html><body><p>text with <b>bold</b> and <i>italic</i> and "
+        b"<a href='/x'>a link</a> inside</p></body></html>"
+    )
+    pages = extract_html_pages(html)
+    assert pages == [(1, ["text with bold and italic and a link inside"])]
+
+
+def test_html_kernel_entities():
+    html = b"<html><body><p>a &amp; b &lt;tag&gt; &#169; ok</p></body></html>"
+    pages = extract_html_pages(html)
+    assert pages == [(1, ["a & b <tag> \xa9 ok"])]
+
+
+def test_html_kernel_unclosed_tags():
+    html = b"<html><body><p>first para<p>second para</body></html>"
+    pages = extract_html_pages(html)
+    # html.parser sees no </p>; the second <p> opens a new block
+    texts = pages[0][1]
+    assert "second para" in " ".join(texts)
