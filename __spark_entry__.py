@@ -267,6 +267,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.textops import quality_gate
+
+    return quality_gate(_docs(spark, sf_dir))
+
+
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import fingerprints
 
@@ -307,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embed_near_dup": q_sim_embed_near_dup,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
+        "text_quality_gate": q_text_quality_gate,
         "text_fingerprints": q_text_fingerprints,
         "lang_id": q_lang_id,
     }
@@ -494,6 +501,18 @@ def oracle_sql() -> dict[str, str]:
                         / len(string_split(text, ' '))) AS BIGINT)
                        AS stopword_ratio_x10000
             FROM documents
+        """,
+        "text_quality_gate": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(floor(length(replace(text, ' ', '')) * 100
+                        / len(string_split(text, ' '))) AS BIGINT)
+                       AS avg_word_len_x100
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 20
+              AND CAST(floor(length(replace(text, ' ', '')) * 100
+                       / len(string_split(text, ' '))) AS BIGINT)
+                  BETWEEN 200 AND 900
         """,
         "text_fingerprints": """
             SELECT doc_id, md5(text) AS md5_fingerprint,

@@ -59,6 +59,26 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_gate(
+    docs: DataFrame,
+    min_words: int = 20,
+    min_avg_word_len_x100: int = 200,
+    max_avg_word_len_x100: int = 900,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus quality filter: keeps documents whose length/word-shape
+    features fall in the accepted band (the gate a training-data pipeline
+    applies after extraction). Pure JVM expressions over
+    :func:`quality_scores`; the thresholds are integer-safe so a DuckDB
+    oracle can replay the gate exactly."""
+    scores = quality_scores(docs, text_col)
+    return scores.where(
+        (F.col("n_words") >= min_words)
+        & (F.col("avg_word_len_x100") >= min_avg_word_len_x100)
+        & (F.col("avg_word_len_x100") <= max_avg_word_len_x100)
+    ).select("doc_id", "n_words", "avg_word_len_x100")
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 4) -> DataFrame:
     """Document fingerprints: full-text md5 plus a shingle fingerprint —
     the lexicographic minimum of the md5s of all word ``shingle``-grams

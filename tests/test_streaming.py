@@ -1,0 +1,45 @@
+"""Structured Streaming incremental extraction: exactly-once over crawl
+segments via the file-source checkpoint, shared code path with batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_project_spark.streaming.incremental import extract_stream
+
+
+def _write_segment(pages, path, lo, hi):
+    pages.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_incremental_extraction_exactly_once(spark, pages, documents, tmp_path):
+    inp = str(tmp_path / "segments")
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    # segment 1 lands → drain
+    _write_segment(pages, inp, 0, 200)
+    q = extract_stream(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == pages.where("doc_id < 200").count()
+
+    # segment 2 lands → drain again with the same checkpoint: only new files
+    _write_segment(pages, inp, 200, 10_000)
+    q = extract_stream(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == pages.count()
+    # exactly-once: no url processed twice
+    assert final.groupBy("url").count().where("count > 1").count() == 0
+
+    # and the streamed results carry the same byte-identity invariant
+    joined = final.where("success").join(
+        documents.select("doc_id", F.col("text").alias("truth")), "doc_id"
+    )
+    assert joined.where(F.col("text") != F.col("truth")).count() == 0
