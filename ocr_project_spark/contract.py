@@ -97,6 +97,10 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("page_count", T.IntegerType()),
         T.StructField("processed_pages", T.ArrayType(T.IntegerType())),
         T.StructField("n_bytes", T.LongType()),
+        # processing_time: per-document kernel wall seconds (reference P8,
+        # api_contract.py:75-78). Non-deterministic by nature — excluded
+        # from every identity check and oracle query; lineage aggregates it.
+        T.StructField("processing_time", T.DoubleType()),
         T.StructField("error", T.StringType()),
     ]
 )
@@ -110,5 +114,6 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("n_success", T.LongType()),
         T.StructField("n_failed", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("cpu_seconds", T.DoubleType()),
     ]
 )

@@ -14,6 +14,7 @@ loop ran inside its GPU service.
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -45,7 +46,7 @@ def _reject(backend: str, err: str) -> DocResult:
     )
 
 
-def _result_row(url: str, doc_id: int, res: DocResult) -> dict:
+def _result_row(url: str, doc_id: int, res: DocResult, elapsed: float = 0.0) -> dict:
     return {
         "url": url,
         "doc_id": doc_id,
@@ -62,6 +63,7 @@ def _result_row(url: str, doc_id: int, res: DocResult) -> dict:
         "page_count": res.page_count,
         "processed_pages": list(res.processed_pages),
         "n_bytes": len(res.text.encode("utf-8")),
+        "processing_time": elapsed,
         "error": res.error,
     }
 
@@ -93,6 +95,7 @@ def make_extract_fn(model_loaded: dict | None = None):
                     if raw_sel is not None and len(raw_sel) > 0:
                         sel = [int(p) for p in raw_sel]
                 mode = pdf["mode"].iat[i] if has_mode else None
+                t0 = time.perf_counter()
                 if backend not in BACKEND_REGISTRY:
                     res = _reject(
                         backend if backend is not None else "",
@@ -108,7 +111,9 @@ def make_extract_fn(model_loaded: dict | None = None):
                     res = BACKEND_REGISTRY[backend](bytes(payload), sel, mode)
                 else:
                     res = BACKEND_REGISTRY[backend](bytes(payload), sel)
-                rows.append(_result_row(url, doc_id, res))
+                rows.append(
+                    _result_row(url, doc_id, res, time.perf_counter() - t0)
+                )
             yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return _extract_batches

@@ -31,6 +31,9 @@ def lineage_rows(results: DataFrame) -> DataFrame:
             F.sum(F.col("success").cast("long")).alias("n_success"),
             F.sum((~F.col("success")).cast("long")).alias("n_failed"),
             F.sum("n_bytes").alias("n_bytes"),
+            # P8 analog: summed per-doc kernel seconds per split (wall-clock
+            # metrics live in lineage, not per-row identity checks)
+            F.sum("processing_time").alias("cpu_seconds"),
         )
     )
 

@@ -68,6 +68,15 @@ def test_processed_pages_sorted_and_complete(results):
     assert bad == 0
 
 
+def test_processing_time_recorded(results):
+    """P8 analog: every extracted row carries positive kernel wall time,
+    and lineage aggregates it per split."""
+    assert results.where(F.col("processing_time") <= 0).count() == 0
+    lin = lineage_rows(results)
+    total_cpu = lin.agg(F.sum("cpu_seconds")).collect()[0][0]
+    assert total_cpu > 0
+
+
 def test_lineage_partition_counts(results):
     lin = lineage_rows(results)
     rolled = lin.agg(
