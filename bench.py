@@ -45,7 +45,7 @@ def _pages_parquet(spark, sf_dir: str, replicate: int, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
-def _extract_run(spark, sf_dir: str, cpus: int, pages_path: str, repeats: int = 2):
+def _extract_run(spark, sf_dir: str, cpus: int, pages_path: str, repeats: int = 3):
     """The timed north-rule extraction job (scan → url-hash repartition →
     Arrow-batch extraction → byte-identity verification), returns
     (seconds, n_docs, agg_row). Runs ``repeats`` times and keeps the best —
