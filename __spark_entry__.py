@@ -128,10 +128,12 @@ def q_page_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_span_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span boundaries (P3): one row per span for single-page html-arm docs."""
+    """Span boundaries (P3): one row per span for every html-arm doc (the
+    synthetic box index resets per page; the oracle replays the paragraph→
+    page assignment with the exact floor-division slice math)."""
     res = _results(spark, sf_dir)
     return (
-        res.where("success AND backend = 'deepseek-ocr' AND page_count = 1")
+        res.where("success AND backend = 'deepseek-ocr'")
         .select("doc_id", F.explode("spans").alias("s"))
         .select(
             "doc_id",
@@ -353,23 +355,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "span_boxes": f"""
             WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS words, {_N_PARAS} AS n_paras
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       {_N_PARAS} AS n_paras, {_N_PAGES} AS n_pages
                 FROM documents
                 WHERE {_WELL_FORMED} AND doc_id % 2 = 0
-                  AND {_N_PAGES} = 1
             ),
             s AS (
-                SELECT doc_id, words,
-                       unnest(generate_series(1, n_paras)) AS i
+                SELECT doc_id, words, n_paras, n_pages,
+                       unnest(generate_series(0, n_paras - 1)) AS j
                 FROM d
+            ),
+            -- paragraph j (0-based) lands on page p with in-page block
+            -- index idx, replaying datagen.page_slices' floor divisions
+            b AS (
+                SELECT doc_id, words, j,
+                       ((j + 1) * n_pages - 1) // n_paras AS p,
+                       n_paras, n_pages
+                FROM s
+            ),
+            i AS (
+                SELECT doc_id, words, j,
+                       j - (p * n_paras) // n_pages AS idx
+                FROM b
             )
             SELECT doc_id,
-                   array_to_string(list_slice(words, (i - 1) * 8 + 1, i * 8), ' ') AS ref,
+                   array_to_string(list_slice(words, j * 8 + 1, j * 8 + 8), ' ') AS ref,
                    CAST(40 AS BIGINT) AS x1,
-                   CAST(least(40 + (i - 1) * 60, 930) AS BIGINT) AS y1,
+                   CAST(least(40 + idx * 60, 930) AS BIGINT) AS y1,
                    CAST(959 AS BIGINT) AS x2,
-                   CAST(least(least(40 + (i - 1) * 60, 930) + 50, 980) AS BIGINT) AS y2
-            FROM s
+                   CAST(least(least(40 + idx * 60, 930) + 50, 980) AS BIGINT) AS y2
+            FROM i
         """,
         "markdown_identity": f"""
             WITH d AS (
