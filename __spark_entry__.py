@@ -147,13 +147,11 @@ def q_span_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_markdown_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markdown byte-identity where SQL-expressible: the whole layout arm
-    plus single-page html-arm docs (multi-page html markdown embeds raw
-    marker strings + page separators — covered by pytest goldens instead)."""
-    res = _results(spark, sf_dir)
-    return res.where(
-        "success AND (backend = 'mineru' OR page_count = 1)"
-    ).select("doc_id", "markdown")
+    """Markdown byte-identity for EVERY successful document: the layout
+    arm's blank-line join, the html image path's P2 projection, and the
+    html pdf path's marker+page-separator assembly — the oracle rebuilds
+    all three surfaces in SQL."""
+    return _results(spark, sf_dir).where("success").select("doc_id", "markdown")
 
 
 def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,21 +386,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "markdown_identity": f"""
             WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS words, {_N_PARAS} AS n_paras
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       {_N_PARAS} AS n_paras, {_N_PAGES} AS n_pages
                 FROM documents WHERE {_WELL_FORMED}
             )
             SELECT doc_id,
-                   array_to_string(
-                       list_transform(
-                           generate_series(1, n_paras),
-                           i -> array_to_string(
-                               list_slice(words, (i - 1) * 8 + 1, i * 8), ' ')
-                       ),
-                       chr(10) || chr(10)
-                   ) AS markdown
+                   CASE
+                     WHEN doc_id % 2 = 1 OR n_pages = 1 THEN
+                       -- layout arm / html image path: paragraphs joined
+                       -- with a blank line (P2 projection)
+                       array_to_string(
+                           list_transform(
+                               generate_series(1, n_paras),
+                               i -> array_to_string(
+                                   list_slice(words, (i - 1) * 8 + 1, i * 8), ' ')
+                           ),
+                           chr(10) || chr(10))
+                     ELSE
+                       -- html pdf path: per-page marker lines + byte-exact
+                       -- page separators (P6 assembly)
+                       array_to_string(
+                         list_transform(generate_series(1, n_pages), p ->
+                           array_to_string(
+                             list_transform(
+                               generate_series((p-1)*n_paras//n_pages + 1,
+                                               p*n_paras//n_pages),
+                               jj ->
+                                 '<|ref|>'
+                                 || array_to_string(
+                                      list_slice(words, (jj-1)*8+1, (jj-1)*8+8), ' ')
+                                 || '<|/ref|><|det|>[[40, '
+                                 || least(40 + (jj - 1
+                                        - ((p-1)*n_paras//n_pages))*60, 930)
+                                 || ', 959, '
+                                 || least(least(40 + (jj - 1
+                                        - ((p-1)*n_paras//n_pages))*60, 930) + 50,
+                                          980)
+                                 || ']]<|/det|>'
+                             ), chr(10))
+                           || chr(10) || '<--- Page ' || p || ' --->' || chr(10)
+                         ), chr(10))
+                   END AS markdown
             FROM d
-            WHERE doc_id % 2 = 1
-               OR least(1 + doc_id % 3, greatest(n_paras, 1)) = 1
         """,
         "lineage_health": f"""
             WITH l AS (
