@@ -182,6 +182,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(dedup_test_corpus(_docs(spark, sf_dir)))
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.dedup import dedup_keep, dedup_test_corpus
+
+    return dedup_keep(dedup_test_corpus(_docs(spark, sf_dir)))
+
+
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.dedup import dedup_test_corpus, prefix_dup_groups
 
@@ -303,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_counts": q_host_counts,
         "backend_compare": q_backend_compare,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep": q_dedup_keep,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -463,6 +470,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
             FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_keep": f"""
+            WITH {_DEDUP_CORPUS}
+            SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
         """,
         "dedup_prefix": f"""
             WITH {_DEDUP_CORPUS}

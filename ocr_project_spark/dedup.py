@@ -63,6 +63,20 @@ def exact_dup_groups(
     )
 
 
+def dedup_keep(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dedup materializer: the surviving doc ids (min id per distinct
+    content hash) — the corpus a training pipeline actually keeps. One
+    map-side-combinable aggregation; no join back needed when downstream
+    only requires ids."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(id_col).alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 def prefix_dup_groups(
     docs: DataFrame, n_words: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -36,14 +36,20 @@ def run_job(
     results_path: str,
     lineage_path: str | None = None,
     num_partitions: int | None = None,
+    max_records_per_file: int | None = 500_000,
 ) -> None:
     """Resumable batch job: skip completed urls, extract, append results and
     lineage. Crash-and-rerun converges to the same result set (see
-    tests/test_resume.py)."""
+    tests/test_resume.py). ``max_records_per_file`` bounds output file sizes
+    so the results table stays scan-friendly at 100 TB (no multi-GB files
+    from fat partitions, no planner pressure from tiny ones)."""
     done = completed_urls(spark, results_path)
     todo = resume_filter(pages, done)
     results = run_extraction(todo, num_partitions=num_partitions)
-    results.write.mode("append").parquet(results_path)
+    writer = results.write.mode("append")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(results_path)
     if lineage_path:
         written = spark.read.parquet(results_path)
         lineage_rows(written).write.mode("overwrite").parquet(lineage_path)

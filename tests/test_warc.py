@@ -1,0 +1,102 @@
+"""WARC source tests: record framing, filtering, explode shape, and the full
+WARC → extraction byte-identity path.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from ocr_project_spark.datagen import build_html
+from ocr_project_spark.operators.extract import extract_documents
+from ocr_project_spark.sources.warc import (
+    pages_from_warc,
+    parse_warc_records,
+    synthesize_warc_segment,
+)
+
+TS = datetime(2025, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _docs(n=5):
+    return [
+        (
+            f"https://site-{i}.example.org/w{i}.html",
+            TS,
+            build_html(i * 2, f"alpha{i} beta{i} gamma{i} delta{i}", "en").encode(),
+        )
+        for i in range(n)
+    ]
+
+
+def test_parse_records_skips_requests_and_non200():
+    docs = _docs(3)
+    seg = synthesize_warc_segment(docs)  # interleaves request records
+    # append a 404 response record that must be skipped
+    seg += synthesize_warc_segment(
+        [("https://site-x.example.org/gone.html", TS, b"not found")],
+        include_request_records=False,
+    ).replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 404 NF")
+    records = parse_warc_records(seg)
+    assert [u for u, _, _ in records] == [u for u, _, _ in docs]
+    for (u, ts, payload), (eu, ets, epayload) in zip(records, docs):
+        assert ts == ets
+        assert payload == epayload
+
+
+def test_parse_records_payload_with_blank_lines():
+    payload = b"<html><body><p>a</p>\r\n\r\n<p>b</p></body></html>"
+    seg = synthesize_warc_segment(
+        [("https://s.example.org/x.html", TS, payload)],
+        include_request_records=False,
+    )
+    records = parse_warc_records(seg)
+    assert len(records) == 1
+    assert records[0][2] == payload  # Content-Length framing, not split
+
+
+def test_parse_records_truncated_tail():
+    seg = synthesize_warc_segment(_docs(2), include_request_records=False)
+    records = parse_warc_records(seg + b"WARC/1.0\r\ngarbage")
+    assert len(records) == 2
+
+
+def test_pages_from_warc_explode(spark):
+    docs = _docs(6)
+    seg_a = synthesize_warc_segment(docs[:4])
+    seg_b = synthesize_warc_segment(docs[4:])
+    segments = spark.createDataFrame(
+        [(bytearray(seg_a),), (bytearray(seg_b),)], "content binary"
+    )
+    pages = pages_from_warc(segments)
+    rows = {r["url"]: r for r in pages.collect()}
+    assert len(rows) == 6
+    for url, ts, payload in docs:
+        assert bytes(rows[url]["html"]) == payload
+        assert rows[url]["warc_ts"] is not None
+
+
+def test_warc_to_extraction_byte_identity(spark):
+    """Full path: WARC segment → pages → dispatch → extraction recovers the
+    injected ground-truth text byte-identically."""
+    truth = {
+        f"https://site-{i}.example.org/w{i}.html": " ".join(
+            f"tok{i}w{j}" for j in range(24)
+        )
+        for i in range(4)
+    }
+    docs = [
+        (url, TS, build_html(0, text, "en").encode())
+        for url, text in truth.items()
+    ]
+    seg = synthesize_warc_segment(docs)
+    segments = spark.createDataFrame([(bytearray(seg),)], "content binary")
+    pages = pages_from_warc(segments).withColumn(
+        "backend", F.lit("deepseek-ocr")
+    )
+    out = {r["url"]: r for r in extract_documents(pages).collect()}
+    assert len(out) == 4
+    for url, text in truth.items():
+        assert out[url]["success"]
+        assert out[url]["text"] == text
