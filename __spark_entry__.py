@@ -154,6 +154,17 @@ def q_markdown_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _results(spark, sf_dir).where("success").select("doc_id", "markdown")
 
 
+def q_raw_output_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format byte-identity: the layout arm's middle_json/metadata
+    JSON for every doc plus the html arm's marker string for single-page
+    docs (the multi-page html raw is a JSON envelope whose content is
+    already covered by markdown_identity + span_boxes)."""
+    res = _results(spark, sf_dir)
+    return res.where(
+        "success AND (backend = 'mineru' OR page_count = 1)"
+    ).select("doc_id", "raw_output")
+
+
 def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5 health rollup over per-partition lineage rows."""
     from ocr_project_spark.operators.lineage import health_rollup, lineage_rows
@@ -305,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_rollup": q_page_rollup,
         "span_boxes": q_span_boxes,
         "markdown_identity": q_markdown_identity,
+        "raw_output_identity": q_raw_output_identity,
         "lineage_health": q_lineage_health,
         "host_counts": q_host_counts,
         "backend_compare": q_backend_compare,
@@ -435,6 +447,35 @@ def oracle_sql() -> dict[str, str]:
                          ), chr(10))
                    END AS markdown
             FROM d
+        """,
+        "raw_output_identity": f"""
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       {_N_PARAS} AS n_paras, {_N_PAGES} AS n_pages
+                FROM documents WHERE {_WELL_FORMED}
+            )
+            SELECT doc_id,
+              CASE WHEN doc_id % 2 = 1 THEN
+                '{{"middle_json": {{"pdf_info": ['
+                || array_to_string(
+                     list_transform(generate_series(1, n_pages), p ->
+                       '{{"page": ' || p || ', "n_blocks": '
+                       || (p*n_paras//n_pages - (p-1)*n_paras//n_pages) || '}}'
+                     ), ', ')
+                || ']}}, "metadata": {{"language": "ch", "ocr_enabled": true, '
+                || '"formula_enabled": true, "table_enabled": true}}}}'
+              ELSE
+                array_to_string(
+                  list_transform(generate_series(1, n_paras), jj ->
+                    '<|ref|>'
+                    || array_to_string(list_slice(words, (jj-1)*8+1, (jj-1)*8+8), ' ')
+                    || '<|/ref|><|det|>[[40, ' || least(40 + (jj-1)*60, 930)
+                    || ', 959, ' || least(least(40 + (jj-1)*60, 930) + 50, 980)
+                    || ']]<|/det|>'
+                  ), chr(10))
+              END AS raw_output
+            FROM d
+            WHERE doc_id % 2 = 1 OR n_pages = 1
         """,
         "lineage_health": f"""
             WITH l AS (
