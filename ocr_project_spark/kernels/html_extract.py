@@ -46,7 +46,6 @@ class _ContentParser(HTMLParser):
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.stack: list[str] = []
         self.boiler_depth = 0
         self.anchor_depth = 0
         self.current_page = 1
@@ -62,7 +61,6 @@ class _ContentParser(HTMLParser):
             self.blocks.append(blk)
 
     def handle_starttag(self, tag, attrs):
-        self.stack.append(tag)
         if tag in BOILERPLATE_TAGS:
             # an unclosed block before boilerplate chrome ends implicitly
             self._finish_block()
@@ -83,11 +81,6 @@ class _ContentParser(HTMLParser):
             self.block = _Block(self.current_page)
 
     def handle_endtag(self, tag):
-        # html.parser does not enforce nesting; pop defensively.
-        if tag in self.stack:
-            self.stack.reverse()
-            self.stack.remove(tag)
-            self.stack.reverse()
         if tag in BOILERPLATE_TAGS and self.boiler_depth > 0:
             self.boiler_depth -= 1
         if tag == "a" and self.anchor_depth > 0:

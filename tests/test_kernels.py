@@ -64,6 +64,23 @@ def test_html_roundtrip_recovers_ground_truth():
     assert [p for p, _ in pages] == [1, 2]
 
 
+def test_html_roundtrip_large_document():
+    """A multi-megabyte page must round-trip (Arrow batches carry whole
+    documents; the kernel must not degrade or truncate)."""
+    text = " ".join(f"word{i}" for i in range(100_000))  # ~1.2 MB of text
+    html = build_html(1, text, "en").encode("utf-8")
+    pages = extract_html_pages(html)
+    recovered = " ".join(t for _, blocks in pages for t in blocks)
+    assert recovered == text
+
+
+def test_html_roundtrip_cjk():
+    text = "机器 学习 模型 训练 数据 管道 抽取 文本"
+    html = build_html(4, text, "zh").encode("utf-8")
+    pages = extract_html_pages(html)
+    assert " ".join(t for _, blocks in pages for t in blocks) == text
+
+
 # --- layout arm -------------------------------------------------------------
 def _pagedoc(blocks, height=2000, page=1):
     return (
