@@ -14,6 +14,7 @@ from typing import Iterable, Sequence
 
 from ocr_project_spark.contract import (
     DET_CLOSE,
+    ERR_NO_VALID_PAGES,
     DET_OPEN,
     EMPTY_MARKDOWN_SENTINEL,
     END_OF_TEXT_SENTINEL,
@@ -145,7 +146,7 @@ def select_pages_exact(selected: Sequence[int] | None, total: int) -> list[int]:
         return list(range(1, total + 1))
     kept = [p for p in selected if 1 <= p <= total]
     if not kept:
-        raise ValueError("No valid pages selected for processing")
+        raise ValueError(ERR_NO_VALID_PAGES)
     return kept
 
 
@@ -162,7 +163,7 @@ def select_pages_range(selected: Sequence[int] | None, total: int) -> list[int]:
     start = min(selected)
     end = max(selected)
     if start > total:
-        raise ValueError("No valid pages selected for processing")
+        raise ValueError(ERR_NO_VALID_PAGES)
     return list(range(max(start, 1), min(end, total) + 1))
 
 

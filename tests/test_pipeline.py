@@ -103,6 +103,20 @@ def test_health_rollup_statuses(results):
     assert all(s in {"healthy", "degraded"} for s in status.values())
 
 
+def test_backend_listing(spark, results):
+    """R6: registry enumeration joined with the lineage health rollup."""
+    from ocr_project_spark.operators.lineage import backend_listing
+
+    plain = {r["backend"] for r in backend_listing(spark).collect()}
+    assert plain == {"deepseek-ocr", "mineru"}
+    joined = {
+        r["backend"]: r["status"]
+        for r in backend_listing(spark, lineage_rows(results)).collect()
+    }
+    assert set(joined) == plain
+    assert all(s is not None for s in joined.values())
+
+
 def test_backend_split_matches_datagen(results):
     by_backend = {
         r["backend"]: r["n"]
