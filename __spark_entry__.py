@@ -180,6 +180,65 @@ def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_host_counts(_pages(spark, sf_dir))
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC path: documents → synthesized WARC segments (real
+    ISO-28500 framing, request records interleaved) → record parse → html
+    extraction → byte-identical text per doc."""
+    import pandas as pd
+
+    from ocr_project_spark.datagen import build_html, url_for, warc_ts_for
+    from ocr_project_spark.operators.extract import extract_documents
+    from ocr_project_spark.sources.warc import (
+        pages_from_warc,
+        synthesize_warc_segment,
+    )
+
+    def _segments(batches):
+        for pdf in batches:
+            docs = [
+                (
+                    url_for(int(d), s, False),
+                    warc_ts_for(int(d)),
+                    build_html(int(d), t, lg).encode("utf-8"),
+                )
+                for d, t, lg, s in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+                )
+                if int(d) % 2 == 0
+            ]
+            yield pd.DataFrame(
+                {"content": [synthesize_warc_segment(docs)] if docs else []}
+            )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    segments = docs.mapInPandas(_segments, schema="content binary")
+    pages = pages_from_warc(segments).withColumn("backend", F.lit("deepseek-ocr"))
+    out = extract_documents(pages)
+    return out.where("success").select(
+        F.regexp_extract("url", r"doc(\d+)\.", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+
+
+def q_page_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 semantics through the engine: request pages=[1,3] on every
+    multi-page doc; the html arm keeps the exact valid set, the layout arm
+    the contiguous range — both replayed by the oracle."""
+    pages = _pages(spark, sf_dir).withColumn(
+        "pages", F.array(F.lit(1), F.lit(3))
+    )
+    from ocr_project_spark.operators.extract import extract_documents
+
+    out = extract_documents(pages)
+    return out.where("success AND page_count > 1").select(
+        "doc_id",
+        F.col("page_count").cast("long").alias("page_count"),
+        F.concat_ws(",", F.col("processed_pages").cast("array<string>")).alias(
+            "processed"
+        ),
+    )
+
+
 def q_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 comparison fan-out: both backends on every doc, side-by-side."""
     from ocr_project_spark.operators.compare import compare_backends
@@ -319,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_output_identity": q_raw_output_identity,
         "lineage_health": q_lineage_health,
         "host_counts": q_host_counts,
+        "warc_extract": q_warc_extract,
+        "page_selection": q_page_selection,
         "backend_compare": q_backend_compare,
         "dedup_exact": q_dedup_exact,
         "dedup_keep": q_dedup_keep,
@@ -501,6 +562,22 @@ def oracle_sql() -> dict[str, str]:
                    END AS host,
                    count(*) AS n_urls
             FROM documents GROUP BY 1
+        """,
+        "warc_extract": f"""
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        """,
+        "page_selection": f"""
+            SELECT doc_id, page_count,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                       CASE WHEN page_count >= 3 THEN '1,3' ELSE '1' END
+                   ELSE
+                       CASE WHEN page_count >= 3 THEN '1,2,3' ELSE '1,2' END
+                   END AS processed
+            FROM (
+                SELECT doc_id, {_N_PAGES} AS page_count
+                FROM documents WHERE {_WELL_FORMED}
+            )
+            WHERE page_count > 1
         """,
         "backend_compare": """
             SELECT doc_id, true AS texts_agree, true AS matches_truth

@@ -146,10 +146,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, repeats: int = 2):
+        """Best-of-N for the read-only suite ops: first executions pay
+        whole-stage-codegen compilation (~seconds for the big nested
+        expressions) plus occasional VM noise; the best run reports the
+        operator's actual cost."""
+        best = None
+        out = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # materialize the headline extraction input (scan-shaped: parquet) once;
