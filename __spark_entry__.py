@@ -180,6 +180,15 @@ def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_host_counts(_pages(spark, sf_dir))
 
 
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl stats (count + first/last warc_ts) via the salted
+    two-stage aggregation; warc_ts is CRAWL_EPOCH + doc_id seconds so the
+    oracle re-derives the timestamps arithmetically."""
+    from ocr_project_spark.operators.skew import host_stats
+
+    return host_stats(_pages(spark, sf_dir))
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end WARC path: documents → synthesized WARC segments (real
     ISO-28500 framing, request records interleaved) → record parse → html
@@ -378,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_output_identity": q_raw_output_identity,
         "lineage_health": q_lineage_health,
         "host_counts": q_host_counts,
+        "host_stats": q_host_stats,
         "warc_extract": q_warc_extract,
         "page_selection": q_page_selection,
         "backend_compare": q_backend_compare,
@@ -561,6 +571,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR) || '.example.org'
                    END AS host,
                    count(*) AS n_urls
+            FROM documents GROUP BY 1
+        """,
+        "host_stats": """
+            SELECT CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                        ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR) || '.example.org'
+                   END AS host,
+                   count(*) AS n_urls,
+                   min(TIMESTAMP '2025-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND) AS first_ts,
+                   max(TIMESTAMP '2025-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND) AS last_ts
             FROM documents GROUP BY 1
         """,
         "warc_extract": f"""

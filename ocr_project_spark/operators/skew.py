@@ -107,6 +107,35 @@ def salted_host_agg(
     return partial.groupBy("host").agg(*final_aggs())
 
 
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Per-host crawl stats (url count + first/last capture time) via the
+    salted two-stage aggregation — the politeness/recrawl-budget input a
+    crawl pipeline derives per domain. Min/max/count all decompose into
+    partial + final, so the hot-host reducer key stays bounded."""
+    return salted_host_agg(
+        df.select(url_col, ts_col),
+        partial_aggs=[
+            F.count(F.lit(1)).alias("__n"),
+            F.min(ts_col).alias("__first"),
+            F.max(ts_col).alias("__last"),
+        ],
+        final_aggs=lambda: [
+            F.sum("__n").alias("n_urls"),
+            F.min("__first").alias("first_ts"),
+            F.max("__last").alias("last_ts"),
+        ],
+        url_col=url_col,
+        salt_buckets=salt_buckets,
+        hot=hot,
+    )
+
+
 def salted_host_counts(
     df: DataFrame,
     url_col: str = "url",

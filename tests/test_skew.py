@@ -75,6 +75,28 @@ def test_salted_repartition_preserves_rows(pages):
     assert set(parts.columns) == set(pages.columns)
 
 
+def test_host_stats_exact(pages):
+    """Salted min/max/count host stats equal the plain groupBy results."""
+    from ocr_project_spark.operators.skew import host_stats
+
+    expected = {
+        r["host"]: (r["n"], r["f"], r["l"])
+        for r in with_host(pages)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("warc_ts").alias("f"),
+            F.max("warc_ts").alias("l"),
+        )
+        .collect()
+    }
+    got = {
+        r["host"]: (r["n_urls"], r["first_ts"], r["last_ts"])
+        for r in host_stats(pages).collect()
+    }
+    assert got == expected
+
+
 def test_salted_host_counts_exact(pages):
     """The salted two-stage aggregation returns exactly the plain groupBy
     counts (salting must never change results, only key distribution)."""
