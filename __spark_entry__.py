@@ -180,6 +180,19 @@ def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_host_counts(_pages(spark, sf_dir))
 
 
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl dedup: union the pages table with a 1000-second-later
+    recrawl of every url; the window keeps exactly the newer capture."""
+    from ocr_project_spark.operators.resume import latest_capture
+
+    pages = _pages(spark, sf_dir)
+    recrawl = pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1000 SECONDS")
+    )
+    kept = latest_capture(pages.unionByName(recrawl))
+    return kept.select("doc_id", F.col("warc_ts").alias("kept_ts"))
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl stats (count + first/last warc_ts) via the salted
     two-stage aggregation; warc_ts is CRAWL_EPOCH + doc_id seconds so the
@@ -388,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_health": q_lineage_health,
         "host_counts": q_host_counts,
         "host_stats": q_host_stats,
+        "latest_capture": q_latest_capture,
         "warc_extract": q_warc_extract,
         "page_selection": q_page_selection,
         "backend_compare": q_backend_compare,
@@ -572,6 +586,12 @@ def oracle_sql() -> dict[str, str]:
                    END AS host,
                    count(*) AS n_urls
             FROM documents GROUP BY 1
+        """,
+        "latest_capture": """
+            SELECT doc_id,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                       + (doc_id + 1000) * INTERVAL 1 SECOND AS kept_ts
+            FROM documents
         """,
         "host_stats": """
             SELECT CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'

@@ -34,6 +34,30 @@ def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
         return None
 
 
+def latest_capture(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Recrawl dedup: keep only the newest capture per url.
+
+    Real crawls contain the same url many times (one row per fetch,
+    distinguished by ``warc_ts``); extraction wants exactly one. Window
+    ``row_number`` over (url, ts desc) — the shuffle hash-partitions on url,
+    the same key the pipeline already buckets by, so at scale this folds
+    into the existing url-hash exchange. Ties on ts break deterministically
+    by payload-free ordering (url is the partition key; equal-ts duplicates
+    keep an arbitrary-but-stable first by ts desc ordering only when rows
+    are bitwise equal — callers needing stricter tie-breaks add columns).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).desc())
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def resume_filter(
     pages: DataFrame, done: DataFrame | None, broadcast_threshold: int | None = None
 ) -> DataFrame:

@@ -12,6 +12,21 @@ from ocr_project_spark.operators.resume import completed_urls, resume_filter
 from ocr_project_spark.pipeline import run_extraction, run_job
 
 
+def test_latest_capture_keeps_newest(spark, pages):
+    from ocr_project_spark.operators.resume import latest_capture
+
+    recrawl = pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1000 SECONDS")
+    )
+    corpus = pages.unionByName(recrawl)
+    kept = latest_capture(corpus)
+    assert kept.count() == pages.count()
+    # every kept row is the shifted (newer) capture
+    newest = {r["url"]: r["warc_ts"] for r in recrawl.select("url", "warc_ts").collect()}
+    got = {r["url"]: r["warc_ts"] for r in kept.select("url", "warc_ts").collect()}
+    assert got == newest
+
+
 def test_resume_filter_skips_done(spark, pages):
     done = pages.select("url").limit(100)
     todo = resume_filter(pages, done)
