@@ -190,7 +190,11 @@ def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1000 SECONDS")
     )
     kept = latest_capture(pages.unionByName(recrawl))
-    return kept.select("doc_id", F.col("warc_ts").alias("kept_ts"))
+    # epoch seconds, not timestamps: the driver session's timezone is not
+    # ours, and DuckDB timestamps are naive — integers compare portably
+    return kept.select(
+        "doc_id", F.unix_timestamp("warc_ts").alias("kept_epoch")
+    )
 
 
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,7 +203,13 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the timestamps arithmetically."""
     from ocr_project_spark.operators.skew import host_stats
 
-    return host_stats(_pages(spark, sf_dir))
+    out = host_stats(_pages(spark, sf_dir))
+    return out.select(
+        "host",
+        "n_urls",
+        F.unix_timestamp("first_ts").alias("first_epoch"),
+        F.unix_timestamp("last_ts").alias("last_epoch"),
+    )
 
 
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,9 +598,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "latest_capture": """
-            SELECT doc_id,
-                   TIMESTAMP '2025-01-01 00:00:00'
-                       + (doc_id + 1000) * INTERVAL 1 SECOND AS kept_ts
+            SELECT doc_id, 1735689600 + doc_id + 1000 AS kept_epoch
             FROM documents
         """,
         "host_stats": """
@@ -598,10 +606,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR) || '.example.org'
                    END AS host,
                    count(*) AS n_urls,
-                   min(TIMESTAMP '2025-01-01 00:00:00'
-                       + doc_id * INTERVAL 1 SECOND) AS first_ts,
-                   max(TIMESTAMP '2025-01-01 00:00:00'
-                       + doc_id * INTERVAL 1 SECOND) AS last_ts
+                   CAST(min(1735689600 + doc_id) AS BIGINT) AS first_epoch,
+                   CAST(max(1735689600 + doc_id) AS BIGINT) AS last_epoch
             FROM documents GROUP BY 1
         """,
         "warc_extract": f"""
