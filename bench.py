@@ -45,7 +45,7 @@ def _pages_parquet(spark, sf_dir: str, replicate: int, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
-def _extract_run(spark, sf_dir: str, cpus: int, pages_path: str, repeats: int = 3):
+def _extract_run(spark, sf_dir: str, cpus: int, pages_path: str, repeats: int = 2):
     """The timed north-rule extraction job (scan → url-hash repartition →
     Arrow-batch extraction → byte-identity verification), returns
     (seconds, n_docs, agg_row). Runs ``repeats`` times and keeps the best —
@@ -86,7 +86,7 @@ def _extract_run(spark, sf_dir: str, cpus: int, pages_path: str, repeats: int = 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "48"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     if os.environ.get("SPARK_GRAFT_EXTRACT_ONLY"):
