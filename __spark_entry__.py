@@ -387,6 +387,18 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.textops import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_project_spark.textops import corpus_percentiles
+
+    return corpus_percentiles(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import lang_id
 
@@ -429,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
         "text_fingerprints": q_text_fingerprints,
+        "corpus_stats": q_corpus_stats,
+        "corpus_percentiles": q_corpus_percentiles,
         "lang_id": q_lang_id,
     }
 
@@ -740,6 +754,19 @@ def oracle_sql() -> dict[str, str]:
                    )) AS shingle_fingerprint
             FROM documents
         """,
+        "corpus_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_words,
+                   CAST(floor(sum(len(string_split(text, ' '))) * 100
+                        / count(*)) AS BIGINT) AS avg_words_x100,
+                   CAST(min(len(string_split(text, ' '))) AS BIGINT)
+                       AS min_words,
+                   CAST(max(len(string_split(text, ' '))) AS BIGINT)
+                       AS max_words
+            FROM documents GROUP BY 1
+        """,
+        # corpus_percentiles: approximate sketch → rows-only check
         "lang_id": f"""
             SELECT doc_id, lang AS pred_lang FROM documents WHERE {_WELL_FORMED}
         """,

@@ -79,6 +79,42 @@ def quality_gate(
     ).select("doc_id", "n_words", "avg_word_len_x100")
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus rollup: doc counts, word totals, exact
+    avg/min/max word counts (integer-safe) — the dataset-card numbers a
+    corpus release ships. Partial+final aggregation throughout."""
+    n_words = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_words).cast("long").alias("total_words"),
+            F.floor(F.sum(n_words) * 100 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_words_x100"),
+            F.min(n_words).cast("long").alias("min_words"),
+            F.max(n_words).cast("long").alias("max_words"),
+        )
+    )
+
+
+def corpus_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sketch-based distribution summary: approximate word-count
+    percentiles per language via ``percentile_approx`` (GK sketch —
+    mergeable across partitions, the 100 TB path for distribution stats;
+    approximate by construction → rows-only driver check, exactness
+    asserted against numpy in tests at this scale)."""
+    n_words = F.size(F.split(F.col(text_col), " "))
+    return docs.groupBy("lang").agg(
+        F.percentile_approx(n_words, [0.5, 0.9, 0.99], 10000).alias("pcts")
+    ).select(
+        "lang",
+        F.col("pcts")[0].cast("long").alias("p50_words"),
+        F.col("pcts")[1].cast("long").alias("p90_words"),
+        F.col("pcts")[2].cast("long").alias("p99_words"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 4) -> DataFrame:
     """Document fingerprints: full-text md5 plus a shingle fingerprint —
     the lexicographic minimum of the md5s of all word ``shingle``-grams
