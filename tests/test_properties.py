@@ -61,6 +61,35 @@ def test_span_marker_roundtrip_property(ref, box):
     assert extract_markdown(marker) == ref.strip()
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400),
+        min_size=1,
+        max_size=6,
+    ),
+    with_requests=st.booleans(),
+)
+def test_warc_roundtrip_property(payloads, with_requests):
+    """WARC framing survives arbitrary payload bytes — including embedded
+    CRLFCRLF sequences — because records are Content-Length-framed."""
+    from datetime import datetime, timezone
+
+    from ocr_project_spark.sources.warc import (
+        parse_warc_records,
+        synthesize_warc_segment,
+    )
+
+    ts = datetime(2025, 5, 1, tzinfo=timezone.utc)
+    docs = [
+        (f"https://h{i}.example.org/p{i}", ts, payload)
+        for i, payload in enumerate(payloads)
+    ]
+    seg = synthesize_warc_segment(docs, include_request_records=with_requests)
+    records = parse_warc_records(seg)
+    assert [(u, p) for u, _, p in records] == [(u, p) for u, _, p in docs]
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     contents=st.lists(
