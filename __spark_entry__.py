@@ -214,8 +214,9 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end WARC path: documents → synthesized WARC segments (real
-    ISO-28500 framing, request records interleaved) → record parse → html
-    extraction → byte-identical text per doc."""
+    ISO-28500 framing, request records interleaved, gzipped one member per
+    record — Common Crawl's actual `.warc.gz` layout) → gunzip + record
+    parse → html extraction → byte-identical text per doc."""
     import pandas as pd
 
     from ocr_project_spark.datagen import build_html, url_for, warc_ts_for
@@ -239,7 +240,13 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if int(d) % 2 == 0
             ]
             yield pd.DataFrame(
-                {"content": [synthesize_warc_segment(docs)] if docs else []}
+                {
+                    "content": [
+                        synthesize_warc_segment(docs, compression="record")
+                    ]
+                    if docs
+                    else []
+                }
             )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")

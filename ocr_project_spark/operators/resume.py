@@ -35,7 +35,10 @@ def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
 
 
 def latest_capture(
-    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
 ) -> DataFrame:
     """Recrawl dedup: keep only the newest capture per url.
 
@@ -43,14 +46,18 @@ def latest_capture(
     distinguished by ``warc_ts``); extraction wants exactly one. Window
     ``row_number`` over (url, ts desc) — the shuffle hash-partitions on url,
     the same key the pipeline already buckets by, so at scale this folds
-    into the existing url-hash exchange. Ties on ts break deterministically
-    by payload-free ordering (url is the partition key; equal-ts duplicates
-    keep an arbitrary-but-stable first by ts desc ordering only when rows
-    are bitwise equal — callers needing stricter tie-breaks add columns).
+    into the existing url-hash exchange. Two captures with equal
+    second-granularity timestamps but different payloads tie-break on a
+    content hash of the payload (md5 desc), so the winner is a pure function
+    of the data, never of run-dependent row order — the resume-determinism
+    invariant (a re-run must extract the same text per url).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).desc())
+    order = [F.col(ts_col).desc()]
+    if payload_col in pages.columns:
+        order.append(F.md5(F.col(payload_col)).desc())
+    w = Window.partitionBy(url_col).orderBy(*order)
     return (
         pages.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

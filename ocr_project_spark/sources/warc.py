@@ -2,17 +2,24 @@
 
 Real crawl corpora arrive as WARC files (ISO 28500): concatenated records,
 each a `WARC/1.0` header block + HTTP response + payload, separated by
-`\\r\\n\\r\\n`. This source turns a DataFrame of raw segment bytes — e.g.
-`spark.read.format("binaryFile").load("s3://…/segments/*.warc")` — into the
-engine's pages schema (url, warc_ts, html), all parsing Arrow-batched on
+`\\r\\n\\r\\n`. Common Crawl ships them gzipped — one gzip *member per
+record* (`.warc.gz`), which a plain whole-file gunzip also handles because
+concatenated members decompress to the concatenated records. This source
+accepts raw, per-record-gzip, and whole-file-gzip segments and turns a
+DataFrame of segment bytes — e.g.
+`spark.read.format("binaryFile").load("s3://…/segments/*.warc.gz")` — into
+the engine's pages schema (url, warc_ts, html), all parsing Arrow-batched on
 executors (one segment = one row in, N documents out: the same 1→N explode
 shape as doc→pages).
 
-Only `response` records with an HTTP 200 status line are emitted; request /
+Only `response` records with an HTTP 200 status code are emitted; request /
 metadata / warcinfo records and non-200 responses are skipped, matching how
 extraction corpora are distilled from crawl segments. Parsing is pure
 bytes-level (no external warc lib in this container — none is needed: the
-framing is line-oriented and self-describing via Content-Length).
+framing is line-oriented and self-describing via Content-Length). A record
+with a malformed Content-Length does not silently drop the rest of the
+segment: the parser resyncs to the next ``\\r\\nWARC/`` boundary and counts
+the skip (observable via :func:`parse_warc_records_with_stats`).
 
 `synthesize_warc_segment` builds deterministic segments for tests — the
 reference's own self-synthesized-fixture pattern (SURVEY §5).
@@ -20,6 +27,7 @@ reference's own self-synthesized-fixture pattern (SURVEY §5).
 
 from __future__ import annotations
 
+import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -29,8 +37,27 @@ from pyspark.sql import DataFrame
 
 CRLF = b"\r\n"
 RECORD_SEP = b"\r\n\r\n"
+GZIP_MAGIC = b"\x1f\x8b"
 
 PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a run of concatenated gzip members (the `.warc.gz` layout:
+    one member per record; a whole-file gzip is the single-member case).
+    Stops at the first byte run that is not a gzip member, so trailing
+    garbage truncates instead of raising."""
+    out = []
+    while data.startswith(GZIP_MAGIC):
+        d = zlib.decompressobj(wbits=31)  # gzip container
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break
+        if not d.eof:  # truncated final member: keep what decompressed
+            break
+        data = d.unused_data
+    return b"".join(out)
 
 
 def _parse_headers(block: bytes) -> dict[bytes, bytes]:
@@ -42,16 +69,21 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return headers
 
 
-def parse_warc_records(
+def parse_warc_records_with_stats(
     data: bytes,
-) -> list[tuple[str, datetime | None, bytes]]:
-    """Parse one WARC segment into [(url, warc_ts, payload_bytes)].
+) -> tuple[list[tuple[str, datetime | None, bytes]], int]:
+    """Parse one WARC segment into ([(url, warc_ts, payload_bytes)], n_skipped).
 
-    Walks records via Content-Length (robust against payloads containing
-    blank lines); tolerates trailing garbage by stopping at the first
-    malformed record boundary.
+    Accepts raw or gzipped (per-record-member or whole-file) segments. Walks
+    records via Content-Length (robust against payloads containing blank
+    lines). A record with a malformed/missing Content-Length is skipped by
+    resyncing to the next ``\\r\\nWARC/`` boundary — later records survive —
+    and counted in ``n_skipped``; a truncated tail stops the walk.
     """
+    if data.startswith(GZIP_MAGIC):
+        data = gunzip_members(data)
     out: list[tuple[str, datetime | None, bytes]] = []
+    n_skipped = 0
     pos = 0
     n = len(data)
     while pos < n:
@@ -64,7 +96,14 @@ def parse_warc_records(
         try:
             content_length = int(headers.get(b"content-length", b""))
         except ValueError:
-            break
+            # malformed framing: resync to the next record boundary instead
+            # of silently dropping everything after this record
+            n_skipped += 1
+            nxt = data.find(CRLF + b"WARC/", header_end)
+            if nxt < 0:
+                break
+            pos = nxt + len(CRLF)
+            continue
         body_start = header_end + len(RECORD_SEP)
         body = data[body_start : body_start + content_length]
         pos = body_start + content_length
@@ -77,8 +116,10 @@ def parse_warc_records(
         http_end = body.find(RECORD_SEP)
         if http_end < 0:
             continue
-        status_line = body[: body.find(CRLF)]
-        if b" 200 " not in status_line + b" ":
+        # status code is the second token of the status line — substring
+        # matching would accept e.g. 'HTTP/1.1 404 see 200 page'
+        status_parts = body[: body.find(CRLF)].split(b" ")
+        if len(status_parts) < 2 or status_parts[1] != b"200":
             continue
         payload = body[http_end + len(RECORD_SEP) :]
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
@@ -93,7 +134,14 @@ def parse_warc_records(
                 ts = None
         if url:
             out.append((url, ts, payload))
-    return out
+    return out, n_skipped
+
+
+def parse_warc_records(
+    data: bytes,
+) -> list[tuple[str, datetime | None, bytes]]:
+    """Records-only view of :func:`parse_warc_records_with_stats`."""
+    return parse_warc_records_with_stats(data)[0]
 
 
 def pages_from_warc(segments: DataFrame, content_col: str = "content") -> DataFrame:
@@ -119,10 +167,19 @@ def pages_from_warc(segments: DataFrame, content_col: str = "content") -> DataFr
 def synthesize_warc_segment(
     docs: list[tuple[str, datetime, bytes]],
     include_request_records: bool = True,
+    compression: str | None = None,
 ) -> bytes:
     """Deterministic WARC segment from (url, ts, payload) triples — the test
     fixture generator (a response record per doc, optionally interleaved
-    with request records that a correct parser must skip)."""
+    with request records that a correct parser must skip).
+
+    ``compression``: ``None`` (raw concatenated records), ``"record"``
+    (one gzip member per record — Common Crawl's actual `.warc.gz` layout),
+    or ``"file"`` (whole segment as a single gzip member). mtime is pinned
+    to 0 so synthesized fixtures are byte-deterministic.
+    """
+    import gzip
+
     parts = []
     for url, ts, payload in docs:
         ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
@@ -154,4 +211,8 @@ def synthesize_warc_segment(
             + http
             + RECORD_SEP
         )
+    if compression == "record":
+        return b"".join(gzip.compress(p, mtime=0) for p in parts)
+    if compression == "file":
+        return gzip.compress(b"".join(parts), mtime=0)
     return b"".join(parts)

@@ -69,10 +69,12 @@ def test_span_marker_roundtrip_property(ref, box):
         max_size=6,
     ),
     with_requests=st.booleans(),
+    compression=st.sampled_from([None, "record", "file"]),
 )
-def test_warc_roundtrip_property(payloads, with_requests):
+def test_warc_roundtrip_property(payloads, with_requests, compression):
     """WARC framing survives arbitrary payload bytes — including embedded
-    CRLFCRLF sequences — because records are Content-Length-framed."""
+    CRLFCRLF sequences and gzip magic — because records are
+    Content-Length-framed, in all three compression layouts."""
     from datetime import datetime, timezone
 
     from ocr_project_spark.sources.warc import (
@@ -85,7 +87,9 @@ def test_warc_roundtrip_property(payloads, with_requests):
         (f"https://h{i}.example.org/p{i}", ts, payload)
         for i, payload in enumerate(payloads)
     ]
-    seg = synthesize_warc_segment(docs, include_request_records=with_requests)
+    seg = synthesize_warc_segment(
+        docs, include_request_records=with_requests, compression=compression
+    )
     records = parse_warc_records(seg)
     assert [(u, p) for u, _, p in records] == [(u, p) for u, _, p in docs]
 

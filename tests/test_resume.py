@@ -70,3 +70,24 @@ def test_rerun_after_completion_is_noop(spark, pages, tmp_path):
     n1 = spark.read.parquet(results_path).count()
     run_job(spark, pages, results_path)  # everything already done
     assert spark.read.parquet(results_path).count() == n1
+
+
+def test_latest_capture_equal_ts_tiebreak_deterministic(spark):
+    """Equal-timestamp captures with different payloads keep a
+    data-determined winner (md5 desc), stable across runs and input order."""
+    import hashlib
+    from datetime import datetime
+
+    from ocr_project_spark.operators.resume import latest_capture
+
+    ts = datetime(2025, 1, 1, 12, 0, 0)
+    payloads = [b"<html>capture-a</html>", b"<html>capture-b</html>"]
+    expected = max(payloads, key=lambda p: hashlib.md5(p).hexdigest())
+    rows = [("https://x.example.org/p", ts, p) for p in payloads]
+    for ordering in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            ordering, "url string, warc_ts timestamp, html binary"
+        ).repartition(4)
+        out = latest_capture(df).collect()
+        assert len(out) == 1
+        assert bytes(out[0]["html"]) == expected

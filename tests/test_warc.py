@@ -100,3 +100,50 @@ def test_warc_to_extraction_byte_identity(spark):
     for url, text in truth.items():
         assert out[url]["success"]
         assert out[url]["text"] == text
+
+
+def test_parse_records_gzip_per_record_and_whole_file():
+    docs = _docs(4)
+    raw = synthesize_warc_segment(docs)
+    rec_gz = synthesize_warc_segment(docs, compression="record")
+    file_gz = synthesize_warc_segment(docs, compression="file")
+    assert rec_gz != raw and file_gz != raw
+    expected = parse_warc_records(raw)
+    assert parse_warc_records(rec_gz) == expected
+    assert parse_warc_records(file_gz) == expected
+    assert [u for u, _, _ in expected] == [u for u, _, _ in docs]
+
+
+def test_parse_records_gzip_trailing_garbage():
+    seg = synthesize_warc_segment(_docs(2), compression="record")
+    records = parse_warc_records(seg + b"\x00garbage-not-gzip")
+    assert len(records) == 2
+
+
+def test_status_code_is_second_token_not_substring():
+    seg = synthesize_warc_segment(
+        [("https://s.example.org/x.html", TS, b"payload")],
+        include_request_records=False,
+    ).replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 404 see 200 page")
+    assert parse_warc_records(seg) == []
+
+
+def test_malformed_content_length_resyncs_to_next_record():
+    from ocr_project_spark.sources.warc import parse_warc_records_with_stats
+
+    good = _docs(2)
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example.org/\r\n"
+        b"Content-Length: not-a-number\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\njunk\r\n\r\n"
+    )
+    seg = (
+        synthesize_warc_segment(good[:1], include_request_records=False)
+        + bad
+        + synthesize_warc_segment(good[1:], include_request_records=False)
+    )
+    records, n_skipped = parse_warc_records_with_stats(seg)
+    assert [u for u, _, _ in records] == [u for u, _, _ in good]
+    assert n_skipped == 1
