@@ -32,6 +32,67 @@ _MALFORMED = "doc_id % 97 = 13"
 _N_PARAS = "cast(ceil(len(string_split(text, ' ')) / 8.0) as bigint)"
 _N_PAGES = f"least(1 + doc_id % 3, greatest({_N_PARAS}, 1))"
 
+# markdown surfaces (shared by markdown_identity / unified_fields /
+# prompt_modes oracles; all assume a CTE exposing doc_id, words, n_paras,
+# n_pages)
+_MD_PARA_JOIN = """array_to_string(
+    list_transform(
+        generate_series(1, n_paras),
+        i -> array_to_string(
+            list_slice(words, (i - 1) * 8 + 1, i * 8), ' ')
+    ),
+    chr(10) || chr(10))"""
+
+# html pdf path: per-page marker lines + byte-exact page separators (P6)
+_MD_HTML_PDF = """array_to_string(
+  list_transform(generate_series(1, n_pages), p ->
+    array_to_string(
+      list_transform(
+        generate_series((p-1)*n_paras//n_pages + 1,
+                        p*n_paras//n_pages),
+        jj ->
+          '<|ref|>'
+          || array_to_string(
+               list_slice(words, (jj-1)*8+1, (jj-1)*8+8), ' ')
+          || '<|/ref|><|det|>[[40, '
+          || least(40 + (jj - 1
+                 - ((p-1)*n_paras//n_pages))*60, 930)
+          || ', 959, '
+          || least(least(40 + (jj - 1
+                 - ((p-1)*n_paras//n_pages))*60, 930) + 50,
+                   980)
+          || ']]<|/det|>'
+      ), chr(10))
+    || chr(10) || '<--- Page ' || p || ' --->' || chr(10)
+  ), chr(10))"""
+
+# html pdf path in free mode: plain paragraph lines + page separators
+_MD_FREE_PDF = """array_to_string(
+  list_transform(generate_series(1, n_pages), p ->
+    array_to_string(
+      list_transform(
+        generate_series((p-1)*n_paras//n_pages + 1,
+                        p*n_paras//n_pages),
+        jj -> array_to_string(
+            list_slice(words, (jj-1)*8+1, (jj-1)*8+8), ' ')
+      ), chr(10))
+    || chr(10) || '<--- Page ' || p || ' --->' || chr(10)
+  ), chr(10))"""
+
+_MD_CASE = f"""CASE
+     WHEN doc_id % 2 = 1 OR n_pages = 1 THEN
+       -- layout arm / html image path: paragraphs joined
+       -- with a blank line (P2 projection)
+       {_MD_PARA_JOIN}
+     ELSE
+       {_MD_HTML_PDF}
+   END"""
+
+_ERR_STR = """CASE WHEN doc_id % 2 = 0
+     THEN 'no text blocks detected in document'
+     ELSE 'invalid PAGEDOC payload: truncated layout tree'
+END"""
+
 _DEDUP_CORPUS = """
 corpus AS (
     SELECT doc_id, text, lang FROM documents
@@ -163,6 +224,34 @@ def q_raw_output_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.where(
         "success AND (backend = 'mineru' OR page_count = 1)"
     ).select("doc_id", "raw_output")
+
+
+def q_unified_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified-response parity fields (reference api_contract.py:182-217):
+    ``file_name`` = the url basename the document was fetched as;
+    ``source_markdown`` = the constructor default (== markdown) for success
+    AND error rows alike. Every row of the corpus is covered."""
+    return _results(spark, sf_dir).select("doc_id", "file_name", "source_markdown")
+
+
+def q_prompt_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-request prompt passthrough on the html arm (reference
+    process/config.py:27-37 templates): a mixed corpus cycling the grounding
+    template, 'Free OCR.', and an unknown prompt (→ documented default).
+    Free-mode markdown degrades to the sentinel on the image path and to
+    plain paragraph pages on the pdf path; text identity holds throughout."""
+    pages = _pages(spark, sf_dir).where("doc_id % 2 = 0")
+    prompt = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit("Free OCR."))
+        .when(F.col("doc_id") % 3 == 2, F.lit("Parse the figure."))
+        .otherwise(
+            F.lit("<image>\n<|grounding|>Convert the document to markdown.")
+        )
+    )
+    from ocr_project_spark.operators.extract import extract_documents
+
+    out = extract_documents(pages.withColumn("prompt", prompt))
+    return out.where("success").select("doc_id", "markdown", "text")
 
 
 def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_boxes": q_span_boxes,
         "markdown_identity": q_markdown_identity,
         "raw_output_identity": q_raw_output_identity,
+        "unified_fields": q_unified_fields,
+        "prompt_modes": q_prompt_modes,
         "lineage_health": q_lineage_health,
         "host_counts": q_host_counts,
         "host_stats": q_host_stats,
@@ -525,43 +616,44 @@ def oracle_sql() -> dict[str, str]:
                        {_N_PARAS} AS n_paras, {_N_PAGES} AS n_pages
                 FROM documents WHERE {_WELL_FORMED}
             )
+            SELECT doc_id, {_MD_CASE} AS markdown
+            FROM d
+        """,
+        "unified_fields": f"""
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       {_N_PARAS} AS n_paras, {_N_PAGES} AS n_pages
+                FROM documents
+            )
             SELECT doc_id,
-                   CASE
-                     WHEN doc_id % 2 = 1 OR n_pages = 1 THEN
-                       -- layout arm / html image path: paragraphs joined
-                       -- with a blank line (P2 projection)
-                       array_to_string(
-                           list_transform(
-                               generate_series(1, n_paras),
-                               i -> array_to_string(
-                                   list_slice(words, (i - 1) * 8 + 1, i * 8), ' ')
-                           ),
-                           chr(10) || chr(10))
-                     ELSE
-                       -- html pdf path: per-page marker lines + byte-exact
-                       -- page separators (P6 assembly)
-                       array_to_string(
-                         list_transform(generate_series(1, n_pages), p ->
-                           array_to_string(
-                             list_transform(
-                               generate_series((p-1)*n_paras//n_pages + 1,
-                                               p*n_paras//n_pages),
-                               jj ->
-                                 '<|ref|>'
-                                 || array_to_string(
-                                      list_slice(words, (jj-1)*8+1, (jj-1)*8+8), ' ')
-                                 || '<|/ref|><|det|>[[40, '
-                                 || least(40 + (jj - 1
-                                        - ((p-1)*n_paras//n_pages))*60, 930)
-                                 || ', 959, '
-                                 || least(least(40 + (jj - 1
-                                        - ((p-1)*n_paras//n_pages))*60, 930) + 50,
-                                          980)
-                                 || ']]<|/det|>'
-                             ), chr(10))
-                           || chr(10) || '<--- Page ' || p || ' --->' || chr(10)
-                         ), chr(10))
-                   END AS markdown
+                   'doc' || doc_id
+                       || CASE WHEN n_pages > 1 THEN '.pdf' ELSE '.html' END
+                       AS file_name,
+                   CASE WHEN {_MALFORMED}
+                        THEN 'OCR processing failed: ' || {_ERR_STR}
+                        ELSE {_MD_CASE}
+                   END AS source_markdown
+            FROM d
+        """,
+        "prompt_modes": f"""
+            WITH d AS (
+                SELECT doc_id, text, string_split(text, ' ') AS words,
+                       {_N_PARAS} AS n_paras, {_N_PAGES} AS n_pages
+                FROM documents WHERE {_WELL_FORMED} AND doc_id % 2 = 0
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 1 THEN
+                       -- 'Free OCR.' prompt: no markers; the P2 projection
+                       -- degrades to the sentinel on the image path
+                       CASE WHEN n_pages = 1
+                            THEN 'No text extracted from OCR output'
+                            ELSE {_MD_FREE_PDF} END
+                   ELSE
+                       -- grounding template + unknown prompt (→ default)
+                       CASE WHEN n_pages = 1 THEN {_MD_PARA_JOIN}
+                            ELSE {_MD_HTML_PDF} END
+                   END AS markdown,
+                   text
             FROM d
         """,
         "raw_output_identity": f"""

@@ -46,6 +46,11 @@ ERR_NO_VALID_PAGES = "No valid pages selected for processing"
 # (reference: orchestrator/server.py:134-135)
 ERR_INVALID_BACKEND_FMT = "Invalid backend: {backend}. Valid backends: {valid}"
 ERR_MISSING_DOCUMENT = "No document payload provided"
+# engine-level validation of the explicit `mode` column (R1 analog; the
+# reference has no mode field — its free-form `prompt` maps onto modes, see
+# kernels/registry.py resolve_mode — so a typo'd mode must surface as an
+# error row, not silently coerce to grounding)
+ERR_INVALID_MODE_FMT = "Invalid mode: {mode}. Valid modes: {valid}"
 
 # --- Span marker surface format (reference: shared/api_contract.py:113-117) -
 REF_OPEN = "<|ref|>"
@@ -82,11 +87,20 @@ RESULT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
         T.StructField("doc_id", T.LongType()),
+        # file_name: the reference's `file_name`/`image_name` field
+        # (api_contract.py:92-95, default "" at 216); the batch analog is the
+        # url basename — the name the crawled document was fetched as.
+        T.StructField("file_name", T.StringType()),
         T.StructField("backend", T.StringType()),
         T.StructField("file_type", T.StringType()),
         T.StructField("success", T.BooleanType()),
         # markdown: the reference's `markdown` field, byte-exact semantics
         T.StructField("markdown", T.StringType()),
+        # source_markdown: reference api_contract.py:75-77, constructor
+        # default `source_markdown or markdown` (214) — no kernel here
+        # rewrites image refs, so the default path (== markdown) is the
+        # contract, for success and error rows alike.
+        T.StructField("source_markdown", T.StringType()),
         # text: plain extracted main-content text — the per-url byte-identity
         # invariant target (north rule): equals the ground-truth `text`.
         T.StructField("text", T.StringType()),
@@ -94,6 +108,12 @@ RESULT_SCHEMA = T.StructType(
         # JSON for the layout arm) preserved for byte-identity checks
         T.StructField("raw_output", T.StringType()),
         T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+        # boxes_image: reference api_contract.py:78-81 (base64 PNG with
+        # *random* box colors, default "" at 215). The deterministic batch
+        # analog is an SVG render of the spans (functions/markers.py
+        # render_boxes_svg); "" when a document has no spans (layout arm,
+        # free mode, error rows) — matching the reference default.
+        T.StructField("boxes_image", T.StringType()),
         T.StructField("page_count", T.IntegerType()),
         T.StructField("processed_pages", T.ArrayType(T.IntegerType())),
         T.StructField("n_bytes", T.LongType()),

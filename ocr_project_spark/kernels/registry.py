@@ -85,6 +85,30 @@ MODE_GROUNDING = "grounding"
 MODE_FREE = "free"
 VALID_MODES = (MODE_GROUNDING, MODE_FREE)
 
+# Per-request prompt passthrough (reference: the request schema carries a
+# free-form prompt string handed to the DeepSeek arm; the known templates
+# live in process/config.py:27-37). The batch analog maps known prompts to
+# modes; an unknown prompt falls back to the documented default template
+# (config.py:27 active PROMPT = grounding), mirroring how the reference
+# treats config.py's PROMPT as the default when a request sends none.
+# The '<image>\n' prefix is the vision-token placeholder, not instruction
+# text — prompts are matched with and without it.
+PROMPT_IMAGE_TOKEN = "<image>\n"
+PROMPT_GROUNDING_MARKER = "<|grounding|>"  # config.py:27,30-31
+PROMPT_FREE = "Free OCR."  # config.py:28,32
+
+
+def resolve_mode(prompt: str | None) -> str:
+    """Map a per-request prompt string onto an extraction mode."""
+    if not prompt:
+        return MODE_GROUNDING
+    p = prompt.removeprefix(PROMPT_IMAGE_TOKEN)
+    if p == PROMPT_FREE:
+        return MODE_FREE
+    if PROMPT_GROUNDING_MARKER in p:
+        return MODE_GROUNDING
+    return MODE_GROUNDING  # unknown prompt → documented default template
+
 
 def process_html_arm(
     payload: bytes,

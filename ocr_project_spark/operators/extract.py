@@ -23,14 +23,18 @@ from pyspark.sql import DataFrame
 
 from ocr_project_spark.contract import (
     ERR_INVALID_BACKEND_FMT,
+    ERR_INVALID_MODE_FMT,
     ERR_MISSING_DOCUMENT,
     RESULT_SCHEMA,
     VALID_BACKENDS,
 )
+from ocr_project_spark.functions.markers import render_boxes_svg
 from ocr_project_spark.kernels.registry import (
     BACKEND_REGISTRY,
     DocResult,
+    VALID_MODES,
     model_not_loaded_result,
+    resolve_mode,
 )
 
 
@@ -50,16 +54,25 @@ def _result_row(url: str, doc_id: int, res: DocResult, elapsed: float = 0.0) -> 
     return {
         "url": url,
         "doc_id": doc_id,
+        # the name the document was fetched as (reference file_name/
+        # image_name, api_contract.py:92-95)
+        "file_name": url.rsplit("/", 1)[-1] if url else "",
         "backend": res.backend,
         "file_type": res.file_type,
         "success": res.success,
         "markdown": res.markdown,
+        # constructor default `source_markdown or markdown`
+        # (api_contract.py:214) — no image-ref rewriting in this corpus
+        "source_markdown": res.markdown,
         "text": res.text,
         "raw_output": res.raw_output,
         "spans": [
             {"ref": s[0], "x1": s[1], "y1": s[2], "x2": s[3], "y2": s[4]}
             for s in res.spans
         ],
+        # deterministic SVG analog of the reference's boxes_image
+        # (default "" when no spans, api_contract.py:215)
+        "boxes_image": render_boxes_svg(res.spans) if res.spans else "",
         "page_count": res.page_count,
         "processed_pages": list(res.processed_pages),
         "n_bytes": len(res.text.encode("utf-8")),
@@ -83,6 +96,7 @@ def make_extract_fn(model_loaded: dict | None = None):
             has_pages = "pages" in pdf.columns
             has_doc_id = "doc_id" in pdf.columns
             has_mode = "mode" in pdf.columns
+            has_prompt = "prompt" in pdf.columns
             rows = []
             for i in range(len(pdf)):
                 url = pdf["url"].iat[i]
@@ -94,13 +108,26 @@ def make_extract_fn(model_loaded: dict | None = None):
                     raw_sel = pdf["pages"].iat[i]
                     if raw_sel is not None and len(raw_sel) > 0:
                         sel = [int(p) for p in raw_sel]
+                # explicit mode column wins; else a per-request prompt maps
+                # to a mode (reference: free-form prompt on the DeepSeek arm)
                 mode = pdf["mode"].iat[i] if has_mode else None
+                if not mode and has_prompt:
+                    mode = resolve_mode(pdf["prompt"].iat[i])
                 t0 = time.perf_counter()
                 if backend not in BACKEND_REGISTRY:
                     res = _reject(
                         backend if backend is not None else "",
                         ERR_INVALID_BACKEND_FMT.format(
                             backend=backend, valid=", ".join(VALID_BACKENDS)
+                        ),
+                    )
+                elif mode and mode not in VALID_MODES:
+                    # R1 analog: a typo'd mode must surface, not silently
+                    # behave as grounding (mirrors the unknown-backend path)
+                    res = _reject(
+                        backend,
+                        ERR_INVALID_MODE_FMT.format(
+                            mode=mode, valid=", ".join(VALID_MODES)
                         ),
                     )
                 elif payload is None or len(payload) == 0:
@@ -129,7 +156,7 @@ def extract_documents(
     scan and the result sink at any scale.
     """
     cols = ["url", "html", "backend"]
-    for opt in ("doc_id", "pages", "mode"):
+    for opt in ("doc_id", "pages", "mode", "prompt"):
         if opt in pages_df.columns:
             cols.append(opt)
     return pages_df.select(*cols).mapInPandas(

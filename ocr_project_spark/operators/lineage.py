@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, functions as F
 DEGRADED_RATE = 0.01
 UNHEALTHY_RATE = 0.5
 
+# R3 circuit-breaker state machine constants (orchestrator/config.py:40-41).
+FAILURE_THRESHOLD = 3  # consecutive failures before marking unhealthy
+SUCCESS_THRESHOLD = 2  # consecutive successes before marking healthy
+
 
 def lineage_rows(results: DataFrame) -> DataFrame:
     """Per-(partition, backend) lineage: doc count, success/failure split,
@@ -54,6 +58,48 @@ def health_rollup(lineage: DataFrame) -> DataFrame:
         .when(fail_rate > DEGRADED_RATE, F.lit("degraded"))
         .otherwise(F.lit("healthy")),
     )
+
+
+def circuit_breaker_gate(lineage: DataFrame) -> dict[str, bool]:
+    """R3 circuit-breaker analog: replay the reference's per-backend health
+    state machine (orchestrator/server.py:85-109 consecutive-failure
+    counters, thresholds orchestrator/config.py:38-42) over a prior run's
+    lineage, partition order standing in for poll order. A partition with
+    zero successes and ≥1 failure is a failed health check; a backend whose
+    trailing run reaches ``FAILURE_THRESHOLD`` consecutive failed partitions
+    trips open (skipped — its next-run rows short-circuit to the
+    model-not-loaded shape) and closes again after ``SUCCESS_THRESHOLD``
+    consecutive healthy partitions.
+
+    Driver-side by design and bounded: the input is the per-(partition,
+    backend) rollup — thousands of rows at 100 TB, never document data —
+    and the output is the ``model_loaded`` gate for the next run.
+    """
+    rows = lineage.select("backend", "part_id", "n_success", "n_failed").collect()
+    by_backend: dict[str, list] = {}
+    for r in rows:
+        by_backend.setdefault(r["backend"], []).append(
+            (r["part_id"], r["n_success"], r["n_failed"])
+        )
+    gate: dict[str, bool] = {}
+    for backend, parts in by_backend.items():
+        parts.sort()
+        state_open = False
+        consec_fail = 0
+        consec_ok = 0
+        for _, n_success, n_failed in parts:
+            if n_success == 0 and n_failed > 0:
+                consec_fail += 1
+                consec_ok = 0
+                if consec_fail >= FAILURE_THRESHOLD:
+                    state_open = True
+            else:
+                consec_ok += 1
+                consec_fail = 0
+                if consec_ok >= SUCCESS_THRESHOLD:
+                    state_open = False
+        gate[backend] = not state_open
+    return gate
 
 
 def backend_listing(spark, lineage: DataFrame | None = None) -> DataFrame:

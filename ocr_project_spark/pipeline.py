@@ -37,15 +37,33 @@ def run_job(
     lineage_path: str | None = None,
     num_partitions: int | None = None,
     max_records_per_file: int | None = 500_000,
+    circuit_breaker: bool = False,
 ) -> None:
     """Resumable batch job: skip completed urls, extract, append results and
     lineage. Crash-and-rerun converges to the same result set (see
     tests/test_resume.py). ``max_records_per_file`` bounds output file sizes
     so the results table stays scan-friendly at 100 TB (no multi-GB files
-    from fat partitions, no planner pressure from tiny ones)."""
+    from fat partitions, no planner pressure from tiny ones).
+
+    ``circuit_breaker=True`` replays the prior run's lineage through the R3
+    health state machine (operators/lineage.circuit_breaker_gate) and
+    short-circuits any tripped backend's rows to the model-not-loaded shape
+    instead of running its kernel."""
+    model_loaded = None
+    if circuit_breaker and lineage_path:
+        import os
+
+        from ocr_project_spark.operators.lineage import circuit_breaker_gate
+
+        if os.path.exists(lineage_path):
+            model_loaded = circuit_breaker_gate(
+                spark.read.parquet(lineage_path)
+            )
     done = completed_urls(spark, results_path)
     todo = resume_filter(pages, done)
-    results = run_extraction(todo, num_partitions=num_partitions)
+    results = run_extraction(
+        todo, num_partitions=num_partitions, model_loaded=model_loaded
+    )
     writer = results.write.mode("append")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -149,3 +149,79 @@ def test_spark_page_selection_column(spark):
     row = extract_documents(df).collect()[0]
     assert row["processed_pages"] == [1, 3]
     assert row["page_count"] == 3
+
+
+def test_invalid_mode_rejected(spark):
+    """A typo'd mode surfaces as an error row (mirrors unknown-backend),
+    never silently coerces to grounding."""
+    df = spark.createDataFrame(
+        [("u1", build_html(0, "alpha beta", "en").encode(), BACKEND_HTML, 0, "fre")],
+        "url string, html binary, backend string, doc_id long, mode string",
+    )
+    row = extract_documents(df).collect()[0]
+    assert not row["success"]
+    assert row["error"] == "Invalid mode: fre. Valid modes: grounding, free"
+
+
+def test_prompt_column_maps_to_modes(spark):
+    """Per-request prompt passthrough (reference process/config.py:27-37):
+    grounding template → markers, 'Free OCR.' → free, unknown → default."""
+    payload = build_html(0, "alpha beta", "en").encode()
+    rows = [
+        ("g", payload, BACKEND_HTML, 0,
+         "<image>\n<|grounding|>Convert the document to markdown."),
+        ("f", payload, BACKEND_HTML, 0, "Free OCR."),
+        ("u", payload, BACKEND_HTML, 0, "Parse the figure."),
+        ("n", payload, BACKEND_HTML, 0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, backend string, doc_id long, prompt string"
+    )
+    out = {r["url"]: r for r in extract_documents(df).collect()}
+    assert out["g"]["raw_output"].startswith("<|ref|>")
+    assert out["f"]["raw_output"] == "alpha beta" and out["f"]["spans"] == []
+    # unknown prompt falls back to the default (grounding) template
+    assert out["u"]["raw_output"] == out["g"]["raw_output"]
+    assert out["n"]["raw_output"] == out["g"]["raw_output"]
+
+
+def test_explicit_mode_wins_over_prompt(spark):
+    df = spark.createDataFrame(
+        [("u1", build_html(0, "alpha beta", "en").encode(), BACKEND_HTML, 0,
+          "free", "<image>\n<|grounding|>Convert the document to markdown.")],
+        "url string, html binary, backend string, doc_id long, "
+        "mode string, prompt string",
+    )
+    row = extract_documents(df).collect()[0]
+    assert row["raw_output"] == "alpha beta"  # mode=free won
+
+
+def test_unified_response_parity_fields(spark):
+    """file_name / source_markdown / boxes_image match the reference's
+    create_unified_response defaults (api_contract.py:182-217)."""
+    from ocr_project_spark.functions.markers import render_boxes_svg
+
+    rows = [
+        ("https://h.example.org/dir/doc0.html",
+         build_html(0, "alpha beta gamma", "en").encode(), BACKEND_HTML, 0),
+        ("https://h.example.org/dir/doc1.pdf",
+         build_pagedoc(1, "delta epsilon zeta", "en").encode(), BACKEND_LAYOUT, 1),
+        ("https://h.example.org/dir/bad.html", b"", BACKEND_HTML, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, backend string, doc_id long"
+    )
+    out = {r["doc_id"]: r for r in extract_documents(df).collect()}
+    assert out[0]["file_name"] == "doc0.html"
+    assert out[1]["file_name"] == "doc1.pdf"
+    assert out[2]["file_name"] == "bad.html"
+    # source_markdown defaults to markdown on success AND error rows
+    for r in out.values():
+        assert r["source_markdown"] == r["markdown"]
+    # html arm: boxes_image is the deterministic SVG of the spans
+    spans = [(s["ref"], s["x1"], s["y1"], s["x2"], s["y2"]) for s in out[0]["spans"]]
+    assert out[0]["boxes_image"] == render_boxes_svg(spans)
+    assert out[0]["boxes_image"].startswith("<svg")
+    # layout arm has no spans; error rows have none either → "" default
+    assert out[1]["boxes_image"] == ""
+    assert out[2]["boxes_image"] == ""

@@ -125,3 +125,70 @@ def test_backend_split_matches_datagen(results):
     assert by_backend["deepseek-ocr"] + by_backend["mineru"] == results.count()
     # doc_id % 2 split → equal halves (500 docs: 250/250)
     assert abs(by_backend["deepseek-ocr"] - by_backend["mineru"]) <= 1
+
+
+def test_circuit_breaker_state_machine(spark):
+    """R3 breaker replay: 3 consecutive wholly-failed partitions trip the
+    backend open; 2 consecutive healthy partitions close it again."""
+    from ocr_project_spark.operators.lineage import circuit_breaker_gate
+
+    def lineage(rows):
+        return spark.createDataFrame(
+            [(p, b, s + f, s, f, 0, 0.0) for p, b, s, f in rows],
+            "part_id int, backend string, n_docs long, n_success long, "
+            "n_failed long, n_bytes long, cpu_seconds double",
+        )
+
+    tripped = lineage(
+        [(0, "mineru", 5, 0)]
+        + [(p, "mineru", 0, 5) for p in (1, 2, 3)]
+        + [(p, "deepseek-ocr", 5, 0) for p in range(4)]
+    )
+    assert circuit_breaker_gate(tripped) == {"mineru": False, "deepseek-ocr": True}
+
+    recovered = lineage(
+        [(p, "mineru", 0, 5) for p in (0, 1, 2)]
+        + [(3, "mineru", 5, 0), (4, "mineru", 4, 1)]  # 2 healthy → closed
+    )
+    assert circuit_breaker_gate(recovered) == {"mineru": True}
+
+    two_fails_only = lineage(
+        [(0, "mineru", 5, 0), (1, "mineru", 0, 5), (2, "mineru", 0, 5)]
+    )
+    assert circuit_breaker_gate(two_fails_only) == {"mineru": True}
+
+
+def test_circuit_breaker_short_circuits_poisoned_backend(spark, tmp_path):
+    """A backend poisoned in run #1 (every payload malformed) is skipped in
+    run #2: its rows short-circuit to the model-not-loaded shape while the
+    healthy backend keeps extracting."""
+    from ocr_project_spark.contract import ERR_MODEL_NOT_LOADED
+    from ocr_project_spark.datagen import build_html
+    from ocr_project_spark.pipeline import run_job
+
+    def corpus(id_lo, id_hi):
+        rows = []
+        for i in range(id_lo, id_hi):
+            if i % 2 == 0:
+                payload = build_html(i, f"alpha{i} beta{i}", "en").encode()
+                backend = "deepseek-ocr"
+            else:
+                payload = b"PAGEDOC1\n{poisoned"  # always fails to parse
+                backend = "mineru"
+            rows.append((f"https://s.example.org/d{i}", payload, backend, i))
+        return spark.createDataFrame(
+            rows, "url string, html binary, backend string, doc_id long"
+        ).repartition(4)
+
+    results_path = str(tmp_path / "results")
+    lineage_path = str(tmp_path / "lineage")
+    run_job(spark, corpus(0, 40), results_path, lineage_path)
+
+    run_job(
+        spark, corpus(40, 80), results_path, lineage_path, circuit_breaker=True
+    )
+    second = spark.read.parquet(results_path).where("doc_id >= 40")
+    mineru = second.where("backend = 'mineru'").collect()
+    assert mineru and all(r["error"] == ERR_MODEL_NOT_LOADED for r in mineru)
+    ok = second.where("backend = 'deepseek-ocr'")
+    assert ok.count() > 0 and ok.where("NOT success").count() == 0
