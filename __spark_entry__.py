@@ -11,9 +11,14 @@ ocr_project_spark/datagen.py), so every extraction invariant — including
 per-document byte identity of extracted text, markdown, and span boxes — is
 re-derivable with plain SQL over ``documents``.
 
-Non-SQL-expressible ops (minhash/simhash signatures, LSH ANN) get rows-only
-checks, except dedup_minhash whose *verified output* equals the exact
-n-gram-Jaccard pairs and therefore shares that oracle.
+Every query carries a DuckDB oracle. The hash-based families use invariants
+instead of replaying the hash in SQL: dedup_minhash's *verified output*
+equals the exact n-gram-Jaccard pairs (candidate recall ≈ 1 at 128/32);
+dedup_simhash and the ANN queries (lsh/ivf) run over corpora with planted
+exact copies, whose co-location in every bucket/cell is a mathematical
+property of the index (identical input ⇒ identical hash), making the
+expected answer exact SQL; corpus_percentiles is exact because the GK
+sketch is exact below its accuracy bound.
 """
 
 from __future__ import annotations
@@ -409,9 +414,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup over base ∪ planted exact copies (+100000),
+    projected to the planted pairs (id_b = id_a + 100000). Identical text ⇒
+    identical word multiset ⇒ identical simhash ⇒ the pair is guaranteed
+    through chunk banding at hamming 0 — a mathematical invariant of the
+    operator at any scale, so the expected set is exact SQL (one pair per
+    de-lang doc). General near-dup behavior (hamming ≤ k on one-word edits)
+    is covered by tests/test_dedup.py; the corpus's natural near-dup pairs
+    land at hash-dependent hamming 2-3 and are excluded by the projection,
+    not by weakening the operator."""
     from ocr_project_spark.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_dedup_corpus_de(spark, sf_dir), max_hamming=3)
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang")
+    ).where(F.col("lang") == "de")
+    out = simhash_near_dup_pairs(corpus, max_hamming=3)
+    return out.where(F.col("id_b") - F.col("id_a") == 100000).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,22 +456,49 @@ def q_sim_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ two planted exact copies per vector (+100000, +200000).
+    An exact copy shares every SRP-LSH bucket and every IVF cell with its
+    original (identical vector ⇒ identical hyperplane signs / nearest
+    centroid), and scores cosine ≈ 1.0 vs a ≤ 0.51 natural ceiling — so the
+    top-2 neighbors of each query are its two copies (tie → id asc), a
+    mathematical guarantee of the index structure, exact at any scale."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return (
+        emb.unionByName(
+            emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        ).unionByName(
+            emb.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+        )
+    )
+
+
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-k over the planted-copy corpus: the full bucket →
+    candidate-join → exact-score → rank path with an exact expected answer
+    (see _planted_ann_corpus). General-recall behavior vs brute force is
+    asserted in tests."""
     from ocr_project_spark.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = lsh_topk(emb, emb.where("vec_id < 10"), k=5, n_planes=4, n_tables=8)
+    corpus = _planted_ann_corpus(spark, sf_dir)
+    out = lsh_topk(corpus, emb.where("vec_id < 10"), k=2, n_planes=4, n_tables=8)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, n_probe cells per query);
-    approximate by construction → rows-only check; recall vs brute force is
+    """IVF top-k (k-means coarse quantizer, n_probe cells per query) over
+    the planted-copy corpus: exercises centroid training (bounded seeded
+    sample), inverted-list assignment, probing, and ranking with an exact
+    expected answer (see _planted_ann_corpus). Recall vs brute force is
     asserted in tests/test_jobs_and_extras.py."""
     from ocr_project_spark.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = ivf_topk(emb, emb.where("vec_id < 10"), k=5, n_cells=16, n_probe=4)
+    corpus = _planted_ann_corpus(spark, sf_dir)
+    out = ivf_topk(corpus, emb.where("vec_id < 10"), k=2, n_cells=16, n_probe=4)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
@@ -764,7 +812,13 @@ def oracle_sql() -> dict[str, str]:
         # the LSH-verified output equals exact Jaccard at ≥0.8 (candidate
         # recall ≈ 1 - 1e-7 at 128 hashes / 32 bands)
         "dedup_minhash": _JACCARD_DE_SQL,
-        # dedup_simhash: signatures are not SQL-expressible → rows-only check
+        # planted-copy projection: identical text ⇒ identical simhash ⇒
+        # pair guaranteed at hamming 0 (see q_dedup_simhash docstring)
+        "dedup_simhash": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents WHERE lang = 'de'
+        """,
         "sim_topk_brute": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS vq
@@ -789,7 +843,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             ) WHERE rank <= 5
         """,
-        # sim_topk_lsh: approximate by construction → rows-only check
+        # planted-copy ANN: each query's top-2 are its two exact copies
+        # (guaranteed bucket/cell co-location at cosine 1.0; tie → id asc)
+        "sim_topk_lsh": """
+            SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+                   vec_id + 100000 AS neighbor_id
+            FROM embeddings WHERE vec_id < 10
+            UNION ALL
+            SELECT vec_id, CAST(2 AS BIGINT), vec_id + 200000
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "sim_topk_ivf": """
+            SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+                   vec_id + 100000 AS neighbor_id
+            FROM embeddings WHERE vec_id < 10
+            UNION ALL
+            SELECT vec_id, CAST(2 AS BIGINT), vec_id + 200000
+            FROM embeddings WHERE vec_id < 10
+        """,
         "sim_embed_near_dup": """
             WITH corpus AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -865,7 +936,19 @@ def oracle_sql() -> dict[str, str]:
                        AS max_words
             FROM documents GROUP BY 1
         """,
-        # corpus_percentiles: approximate sketch → rows-only check
+        # the GK sketch is exact while per-group n ≤ its accuracy bound
+        # (10000), and Spark's exact-mode rank convention equals DuckDB's
+        # quantile_disc (validated on distinct values at n=7..1000)
+        "corpus_percentiles": """
+            SELECT lang,
+                   CAST(quantile_disc(len(string_split(text, ' ')), 0.5)
+                        AS BIGINT) AS p50_words,
+                   CAST(quantile_disc(len(string_split(text, ' ')), 0.9)
+                        AS BIGINT) AS p90_words,
+                   CAST(quantile_disc(len(string_split(text, ' ')), 0.99)
+                        AS BIGINT) AS p99_words
+            FROM documents GROUP BY lang
+        """,
         "lang_id": f"""
             SELECT doc_id, lang AS pred_lang FROM documents WHERE {_WELL_FORMED}
         """,

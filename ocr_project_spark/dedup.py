@@ -161,42 +161,94 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 64
+def hashed_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, shingles) → (doc_id, signature array<long>).
+    """(doc_id, hashes array<long>): xxhash64 of every distinct word n-gram,
+    computed entirely JVM-side (whole-stage codegen) — the per-token hashing
+    that dominates minhash cost at 100 TB never touches Python, and only the
+    compact int64 arrays cross the Arrow boundary (not the shingle strings).
+    """
+    sh = shingle_sets(docs, n, text_col, id_col)
+    return sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes")
+    )
 
-    Vectorized inside Arrow batches: one numpy broadcast per document
-    computes all ``num_hashes`` permutation minima over the shingle hash
-    values ((a·x + b) mod p universal hashing, p = 2^31 - 1; shingles are
-    crc32-hashed — C-speed and stable across executors, unlike python
-    ``hash`` which is per-process salted)."""
+
+def _flatten_batch(arrs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Column of variable-length int lists → (flat values, lengths, starts).
+    Every downstream kernel is a single numpy pass over the flat array with
+    ``reduceat`` at the per-document boundaries — no per-document Python."""
+    lens = np.fromiter((len(h) for h in arrs), dtype=np.int64, count=len(arrs))
+    flat = (
+        np.concatenate([np.asarray(h, dtype=np.int64) for h in arrs])
+        if len(arrs)
+        else np.empty(0, dtype=np.int64)
+    )
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    return flat, lens, starts
+
+
+def _sig_matrix(
+    flat: np.ndarray, starts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Permutation minima over per-doc slices of the flat hash array:
+    (n_docs, num_hashes) int64. Hash values are masked to 31 bits so
+    (a·x + b) stays within int64; chunked over hash functions to bound the
+    (chunk × total_shingles) intermediate."""
+    hv = (flat.view(np.uint64) & np.uint64(0x7FFFFFFF)).view(np.int64)
+    num_hashes = len(a)
+    n_docs = len(starts)
+    out = np.empty((n_docs, num_hashes), dtype=np.int64)
+    chunk = 32
+    for c0 in range(0, num_hashes, chunk):
+        ac = a[c0 : c0 + chunk]
+        bc = b[c0 : c0 + chunk]
+        prod = (hv[None, :] * ac[:, None] + bc[:, None]) % MINHASH_PRIME
+        out[:, c0 : c0 + chunk] = np.minimum.reduceat(prod, starts, axis=1).T
+    return out
+
+
+# per-position band-combine weights: order-sensitive multiply-add in uint64
+# (natural wraparound); a rare band-hash collision only inflates candidates —
+# the exact-jaccard verify step restores precision.
+_BAND_COMBINE_SEED = 0xBA2D
+
+
+def _band_hash_matrix(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, num_hashes) signature matrix → (n_docs, bands) int64 band
+    hashes, one vectorized multiply-add per band row group."""
+    n_docs, num_hashes = sig.shape
+    r = max(num_hashes // bands, 1)
+    usable = sig[:, : bands * r].view(np.uint64).reshape(n_docs, bands, r)
+    w = (
+        np.random.default_rng(_BAND_COMBINE_SEED)
+        .integers(1, 1 << 62, size=r)
+        .astype(np.uint64)
+    )
+    return (usable * w).sum(axis=2, dtype=np.uint64).view(np.int64)
+
+
+def minhash_signatures(
+    hashed: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, hashes) [from :func:`hashed_shingles`] → (doc_id, signature
+    array<long>). One flat-array numpy pass per Arrow batch ((a·x + b) mod p
+    universal hashing over 31-bit-masked xxhash64 shingle hashes, p = 2^31-1;
+    per-doc minima via ``minimum.reduceat``)."""
     a, b = _hash_params(num_hashes, MINHASH_SEED)
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from zlib import crc32
-
         for pdf in batches:
-            sigs = []
-            for sh in pdf["shingles"]:
-                hv = np.fromiter(
-                    (crc32(s.encode("utf-8")) & 0x7FFFFFFF for s in sh),
-                    dtype=np.int64,
-                    count=len(sh),
-                )
-                prod = (hv[None, :] * a[:, None] + b[:, None]) % MINHASH_PRIME
-                sigs.append(prod.min(axis=1))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+            if not len(pdf):
+                continue
+            flat, _, starts = _flatten_batch(pdf["hashes"])
+            sig = _sig_matrix(flat, starts, a, b)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": list(sig)})
 
-    return shingled.mapInPandas(_sign, schema="doc_id long, signature array<long>")
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    return hashed.mapInPandas(_sign, schema="doc_id long, signature array<long>")
 
 
 def minhash_band_rows(
@@ -204,32 +256,60 @@ def minhash_band_rows(
 ) -> DataFrame:
     """(doc_id, signature) → one (doc_id, band_idx, band_hash) row per band.
 
-    Band hashes are computed inside the same Arrow pass as the signatures
-    live in (crc32 over the band's int64 bytes — C-speed, stable across
-    executors). Keeping this in numpy instead of a nested JVM
-    transform/slice expression avoids a multi-second whole-stage-codegen
-    compile of a giant generated class (measured 20 s first-run overhead)."""
+    Band hashes are a vectorized multiply-add combine over each band's
+    signature slice — one numpy pass per batch. Keeping this numpy-side
+    instead of a nested JVM transform/slice expression avoids a
+    multi-second whole-stage-codegen compile of a giant generated class
+    (measured 20 s first-run overhead)."""
 
     def _band(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from zlib import crc32
-
         for pdf in batches:
-            out_doc: list[int] = []
-            out_idx: list[int] = []
-            out_hash: list[int] = []
-            for doc_id, sig in zip(pdf["doc_id"], pdf["signature"]):
-                arr = np.asarray(sig, dtype=np.int64)
-                r = max(len(arr) // bands, 1)
-                for b in range(bands):
-                    out_doc.append(doc_id)
-                    out_idx.append(b)
-                    out_hash.append(crc32(arr[b * r : (b + 1) * r].tobytes()))
+            if not len(pdf):
+                continue
+            sig = np.vstack([np.asarray(s, dtype=np.int64) for s in pdf["signature"]])
+            bh = _band_hash_matrix(sig, bands)
+            n_docs = len(pdf)
             yield pd.DataFrame(
-                {"doc_id": out_doc, "band_idx": out_idx, "band_hash": out_hash}
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                    "band_idx": np.tile(
+                        np.arange(bands, dtype=np.int32), n_docs
+                    ),
+                    "band_hash": bh.reshape(-1),
+                }
             )
 
     return signatures.mapInPandas(
         _band, schema="doc_id long, band_idx int, band_hash long"
+    )
+
+
+def minhash_band_rows_from_hashes(
+    hashed: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Fused (doc_id, hashes) → band rows: signatures and band hashes in ONE
+    Arrow pass, so the signature arrays never cross the JVM↔Python boundary
+    at all — the shape :func:`minhash_near_dup_pairs` uses."""
+    a, b = _hash_params(num_hashes, MINHASH_SEED)
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat, _, starts = _flatten_batch(pdf["hashes"])
+            bh = _band_hash_matrix(_sig_matrix(flat, starts, a, b), bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                    "band_idx": np.tile(
+                        np.arange(bands, dtype=np.int32), len(pdf)
+                    ),
+                    "band_hash": bh.reshape(-1),
+                }
+            )
+
+    return hashed.mapInPandas(
+        _fused, schema="doc_id long, band_idx int, band_hash long"
     )
 
 
@@ -261,24 +341,35 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     text_col: str = "text",
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates from banding, then
-    exact-jaccard verification of candidates only (LSH gives recall, the
-    verify step restores precision)."""
-    # shingles feed three consumers (signatures + both sides of the verify
-    # join); persist so the shingle expression runs once per partition, not
-    # three times (at scale this is a checkpoint of a derived column set)
-    shingled = shingle_sets(docs, n, text_col).persist()
-    sigs = minhash_signatures(shingled, num_hashes)
-    cands = minhash_candidate_pairs(sigs, bands)
+    """Full MinHash-LSH near-dup pipeline: candidates from the fused
+    hash→sign→band pass, then exact-jaccard verification of candidates only
+    (LSH gives recall, the verify step restores precision).
+
+    The shingle expression is pure JVM codegen and is recomputed on each
+    verify side instead of persisting a derived column set — no cached
+    blocks leak into long-lived sessions, and at 100 TB recomputing a
+    codegen'd transform is cheaper than materializing per-doc string arrays
+    in executor memory."""
+    hashed = hashed_shingles(docs, n, text_col)
+    banded = minhash_band_rows_from_hashes(hashed, num_hashes, bands)
+    a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
+    b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingle_sets(docs, n, text_col)
     verified = (
         cands.join(
-            shingled.select(
+            sh.select(
                 F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
             ),
             "id_a",
         )
         .join(
-            shingled.select(
+            sh.select(
                 F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
             ),
             "id_b",
@@ -298,29 +389,37 @@ def minhash_near_dup_pairs(
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document, vectorized numpy over Arrow batches."""
+    """64-bit SimHash per document.
 
+    Word hashing happens JVM-side (``xxhash64`` inside a codegen'd
+    ``transform`` — no per-token Python at 100 TB scale); the Python side is
+    one flat-array numpy pass per Arrow batch: bit matrix → per-doc ±1 vote
+    sums via ``add.reduceat`` → sign bits packed into one int64."""
     bit_idx = np.arange(bits, dtype=np.uint64)
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)).alias(
+            "whashes"
+        ),
+    )
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                words = text.split(" ")
-                hv = np.fromiter(
-                    (_fnv1a64(w) for w in words), dtype=np.uint64, count=len(words)
-                )
-                # (n_words, bits) bit matrix → per-bit ±1 vote sums, one
-                # vectorized pass per document
-                bitmat = (hv[:, None] >> bit_idx[None, :]) & 1
-                acc = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
-                sig = int(((acc > 0).astype(np.uint64) << bit_idx).sum())
-                out.append(np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+            if not len(pdf):
+                continue
+            flat, lens, starts = _flatten_batch(pdf["whashes"])
+            hv = flat.view(np.uint64)
+            bitmat = ((hv[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
+            ones = np.add.reduceat(bitmat, starts, axis=0)  # (n_docs, bits)
+            acc = 2 * ones - lens[:, None]  # ±1 vote sums
+            sig = ((acc > 0).astype(np.uint64) << bit_idx).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": sig.view(np.int64)}
+            )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        _sim, schema="doc_id long, simhash long"
-    )
+    return hashed.mapInPandas(_sim, schema="doc_id long, simhash long")
 
 
 def simhash_near_dup_pairs(

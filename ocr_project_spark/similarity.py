@@ -156,19 +156,27 @@ def ivf_centroids(
     n_cells: int = 16,
     dim: int = 64,
     iters: int = 10,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = HYPERPLANE_SEED,
+    target_points: int | None = None,
 ) -> np.ndarray:
-    """IVF coarse quantizer: k-means centroids trained on a (sampled)
-    driver-side collect. At 100 TB the sample is a tiny uniform fraction of
-    the corpus (k-means needs only ~1000·n_cells points); the corpus itself
-    never leaves the executors. Deterministic: seeded sample + seeded init,
-    fixed iteration count."""
+    """IVF coarse quantizer: k-means centroids trained on a bounded,
+    seeded-sample driver-side collect. k-means needs only ~1000·n_cells
+    points, so by default the sample fraction is derived from the corpus
+    row count (``min(1, target_points / n)``) and the collect is hard-capped
+    at 4× the target — the corpus itself never reaches the driver at any
+    scale. ``sample_fraction`` overrides the derivation for tests.
+    Deterministic: seeded sample + seeded init, fixed iteration count."""
+    target = target_points or 1000 * n_cells
     src = embeddings.select("embedding")
+    if sample_fraction is None:
+        n = src.count()
+        sample_fraction = min(1.0, target / max(n, 1))
     if sample_fraction < 1.0:
         src = src.sample(fraction=sample_fraction, seed=seed)
     mat = np.array(
-        [r["embedding"] for r in src.collect()], dtype=np.float64
+        [r["embedding"] for r in src.limit(4 * target).collect()],
+        dtype=np.float64,
     )
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -101,9 +101,9 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def corpus_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Sketch-based distribution summary: approximate word-count
     percentiles per language via ``percentile_approx`` (GK sketch —
-    mergeable across partitions, the 100 TB path for distribution stats;
-    approximate by construction → rows-only driver check, exactness
-    asserted against numpy in tests at this scale)."""
+    mergeable across partitions, the 100 TB path for distribution stats).
+    The sketch is exact while per-group n ≤ its accuracy bound (10000), so
+    the DuckDB ``quantile_disc`` oracle checks it exactly at test scale."""
     n_words = F.size(F.split(F.col(text_col), " "))
     return docs.groupBy("lang").agg(
         F.percentile_approx(n_words, [0.5, 0.9, 0.99], 10000).alias("pcts")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ocr_project_spark.dedup import (
     exact_dup_groups,
+    hashed_shingles,
     minhash_candidate_pairs,
     minhash_near_dup_pairs,
     minhash_signatures,
@@ -70,7 +71,7 @@ def test_ngram_jaccard_pairs(corpus):
 def test_minhash_exact_dup_identical_signatures(corpus):
     sigs = {
         r["doc_id"]: list(r["signature"])
-        for r in minhash_signatures(shingle_sets(corpus)).collect()
+        for r in minhash_signatures(hashed_shingles(corpus)).collect()
     }
     assert sigs[0] == sigs[1] == sigs[4]
     assert sigs[0] != sigs[3]
@@ -91,7 +92,7 @@ def test_minhash_lsh_finds_near_dups(corpus):
 
 
 def test_minhash_candidates_never_cross_unrelated(corpus):
-    sigs = minhash_signatures(shingle_sets(corpus))
+    sigs = minhash_signatures(hashed_shingles(corpus))
     cands = minhash_candidate_pairs(sigs).collect()
     assert all(3 not in (r["id_a"], r["id_b"]) for r in cands)
 
