@@ -111,8 +111,10 @@ RESULT_SCHEMA = T.StructType(
         # boxes_image: reference api_contract.py:78-81 (base64 PNG with
         # *random* box colors, default "" at 215). The deterministic batch
         # analog is an SVG render of the spans (functions/markers.py
-        # render_boxes_svg); "" when a document has no spans (layout arm,
-        # free mode, error rows) — matching the reference default.
+        # render_boxes_svg), emitted only on the single-page image path
+        # exactly like the reference (deepseek_ocr_backend.py:176 vs 234 —
+        # the pdf path returns ""); "" likewise for the layout arm, free
+        # mode, and error rows.
         T.StructField("boxes_image", T.StringType()),
         T.StructField("page_count", T.IntegerType()),
         T.StructField("processed_pages", T.ArrayType(T.IntegerType())),
@@ -123,6 +125,17 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("processing_time", T.DoubleType()),
         T.StructField("error", T.StringType()),
     ]
+)
+
+# UDF-internal result schema: RESULT_SCHEMA minus the two JVM-derived parity
+# columns. ``file_name`` is a pure function of ``url`` and
+# ``source_markdown`` equals ``markdown`` (the reference constructor
+# default), so both are added as a Catalyst projection AFTER the Arrow pass
+# — the duplicated strings never cross the Python→JVM boundary (measurable
+# throughput cost on the extraction hot path).
+JVM_DERIVED_FIELDS = ("file_name", "source_markdown")
+CORE_RESULT_SCHEMA = T.StructType(
+    [f for f in RESULT_SCHEMA.fields if f.name not in JVM_DERIVED_FIELDS]
 )
 
 # --- Lineage schema (north rule: per-partition lineage rows) ----------------

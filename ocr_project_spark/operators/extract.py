@@ -22,9 +22,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ocr_project_spark.contract import (
+    CORE_RESULT_SCHEMA,
     ERR_INVALID_BACKEND_FMT,
     ERR_INVALID_MODE_FMT,
     ERR_MISSING_DOCUMENT,
+    FILE_TYPE_IMAGE,
     RESULT_SCHEMA,
     VALID_BACKENDS,
 )
@@ -54,25 +56,23 @@ def _result_row(url: str, doc_id: int, res: DocResult, elapsed: float = 0.0) -> 
     return {
         "url": url,
         "doc_id": doc_id,
-        # the name the document was fetched as (reference file_name/
-        # image_name, api_contract.py:92-95)
-        "file_name": url.rsplit("/", 1)[-1] if url else "",
         "backend": res.backend,
         "file_type": res.file_type,
         "success": res.success,
         "markdown": res.markdown,
-        # constructor default `source_markdown or markdown`
-        # (api_contract.py:214) — no image-ref rewriting in this corpus
-        "source_markdown": res.markdown,
         "text": res.text,
         "raw_output": res.raw_output,
         "spans": [
             {"ref": s[0], "x1": s[1], "y1": s[2], "x2": s[3], "y2": s[4]}
             for s in res.spans
         ],
-        # deterministic SVG analog of the reference's boxes_image
-        # (default "" when no spans, api_contract.py:215)
-        "boxes_image": render_boxes_svg(res.spans) if res.spans else "",
+        # deterministic SVG analog of the reference's boxes_image — rendered
+        # only on the single-page image path, exactly like the reference
+        # (deepseek_ocr_backend.py:176 image path vs 234 pdf path = "";
+        # default "" at api_contract.py:215)
+        "boxes_image": render_boxes_svg(res.spans)
+        if res.spans and res.file_type == FILE_TYPE_IMAGE
+        else "",
         "page_count": res.page_count,
         "processed_pages": list(res.processed_pages),
         "n_bytes": len(res.text.encode("utf-8")),
@@ -81,7 +81,7 @@ def _result_row(url: str, doc_id: int, res: DocResult, elapsed: float = 0.0) -> 
     }
 
 
-_COLUMNS = [f.name for f in RESULT_SCHEMA.fields]
+_COLUMNS = [f.name for f in CORE_RESULT_SCHEMA.fields]
 
 
 def make_extract_fn(model_loaded: dict | None = None):
@@ -155,10 +155,28 @@ def extract_documents(
     input partitioning is preserved — no shuffle is introduced between the
     scan and the result sink at any scale.
     """
+    from pyspark.sql import functions as F
+
     cols = ["url", "html", "backend"]
     for opt in ("doc_id", "pages", "mode", "prompt"):
         if opt in pages_df.columns:
             cols.append(opt)
-    return pages_df.select(*cols).mapInPandas(
-        make_extract_fn(model_loaded), schema=RESULT_SCHEMA
+    core = pages_df.select(*cols).mapInPandas(
+        make_extract_fn(model_loaded), schema=CORE_RESULT_SCHEMA
+    )
+    # JVM-derived parity columns (contract.JVM_DERIVED_FIELDS): file_name =
+    # url basename (reference api_contract.py:92-95), source_markdown =
+    # markdown (constructor default, api_contract.py:214). Pure Catalyst
+    # projection — no extra bytes cross the Arrow boundary.
+    derived = {
+        "file_name": F.when(
+            F.length("url") > 0, F.element_at(F.split("url", "/"), -1)
+        ).otherwise(F.lit("")),
+        "source_markdown": F.col("markdown"),
+    }
+    return core.select(
+        *[
+            derived[f.name].alias(f.name) if f.name in derived else f.name
+            for f in RESULT_SCHEMA.fields
+        ]
     )

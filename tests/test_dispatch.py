@@ -225,3 +225,16 @@ def test_unified_response_parity_fields(spark):
     # layout arm has no spans; error rows have none either → "" default
     assert out[1]["boxes_image"] == ""
     assert out[2]["boxes_image"] == ""
+
+
+def test_boxes_image_empty_on_pdf_path(spark):
+    """Reference parity: the pdf path returns boxes_image = ""
+    (deepseek_ocr_backend.py:234), only the image path renders boxes."""
+    df = spark.createDataFrame(
+        [("https://h.example.org/doc2.pdf",
+          build_html(2, TEXT, "en").encode(), BACKEND_HTML, 2)],
+        "url string, html binary, backend string, doc_id long",
+    )
+    row = extract_documents(df).collect()[0]
+    assert row["file_type"] == "pdf" and row["spans"]
+    assert row["boxes_image"] == ""
