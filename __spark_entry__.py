@@ -98,6 +98,23 @@ _ERR_STR = """CASE WHEN doc_id % 2 = 0
      ELSE 'invalid PAGEDOC payload: truncated layout tree'
 END"""
 
+# per-backend lineage rollup CTE + health-status grading (shared by
+# lineage_health / backend_listing)
+_LINEAGE_CTE = f"""l AS (
+    SELECT {_BACKEND} AS backend,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {_WELL_FORMED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_success,
+           CAST(sum(CASE WHEN {_MALFORMED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_failed,
+           CAST(sum(CASE WHEN {_WELL_FORMED} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS n_bytes
+    FROM documents GROUP BY 1
+)"""
+_STATUS_CASE = """CASE WHEN n_failed / CAST(n_docs AS DOUBLE) >= 0.5 THEN 'unhealthy'
+     WHEN n_failed / CAST(n_docs AS DOUBLE) > 0.01 THEN 'degraded'
+     ELSE 'healthy' END"""
+
 _DEDUP_CORPUS = """
 corpus AS (
     SELECT doc_id, text, lang FROM documents
@@ -126,6 +143,16 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles))
           / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.8
 """
+
+
+def _hex4_int(col_expr: str, offset: int) -> str:
+    """SQL for parsing 4 lowercase-hex chars at 1-based ``offset`` of
+    ``col_expr`` into an int (DuckDB has no hex→int cast)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col_expr}, {offset + i}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +291,18 @@ def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.operators.lineage import health_rollup, lineage_rows
 
     return health_rollup(lineage_rows(_results(spark, sf_dir)))
+
+
+def q_backend_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 backend listing: registry enumeration joined with the health
+    rollup (reference: orchestrator/server.py:383-415 `/backends`)."""
+    from ocr_project_spark.operators.lineage import backend_listing, lineage_rows
+
+    lineage = lineage_rows(_results(spark, sf_dir))
+    out = backend_listing(spark, lineage)
+    return out.select(
+        "backend", "description", "n_docs", "n_success", "n_failed", "status"
+    )
 
 
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +541,57 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N frame sampling through the real Arrow plumbing
+    (deterministic fake decode — no codec libs in this container): media
+    payload = utf-8 of documents.text, duration a pure function of doc_id,
+    so frame counts AND content ids (sha256(payload || '#frame-' || i)) are
+    SQL-replayable."""
+    from ocr_project_spark.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.lit(500) + (F.col("doc_id") % 5) * 700).cast("int").alias(
+                "duration_ms"
+            ),
+        ).alias("meta"),
+    )
+    out = sample_frames(media, every_ms=1000, decode="fake")
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_sha256",
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image-feature pass (fake decode): dimensions derive from
+    the payload's sha256 digest, so width/height/content-hash are
+    SQL-replayable; the tile plan + feature vector are golden-tested in
+    pytest (the ratio-search is not reasonably SQL-expressible)."""
+    from ocr_project_spark.multimodal import image_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = image_features(media, decode="fake")
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sha256",
+    )
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import token_counts
 
@@ -567,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified_fields": q_unified_fields,
         "prompt_modes": q_prompt_modes,
         "lineage_health": q_lineage_health,
+        "backend_listing": q_backend_listing,
         "host_counts": q_host_counts,
         "host_stats": q_host_stats,
         "latest_capture": q_latest_capture,
@@ -583,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "sim_embed_near_dup": q_sim_embed_near_dup,
+        "media_frames": q_media_frames,
+        "media_features": q_media_features,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
@@ -734,21 +827,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 2 = 1 OR n_pages = 1
         """,
         "lineage_health": f"""
-            WITH l AS (
-                SELECT {_BACKEND} AS backend,
-                       count(*) AS n_docs,
-                       CAST(sum(CASE WHEN {_WELL_FORMED} THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_success,
-                       CAST(sum(CASE WHEN {_MALFORMED} THEN 1 ELSE 0 END)
-                            AS BIGINT) AS n_failed,
-                       CAST(sum(CASE WHEN {_WELL_FORMED} THEN n_chars ELSE 0 END)
-                            AS BIGINT) AS n_bytes
-                FROM documents GROUP BY 1
-            )
+            WITH {_LINEAGE_CTE}
             SELECT backend, n_docs, n_success, n_failed, n_bytes,
-                   CASE WHEN n_failed / CAST(n_docs AS DOUBLE) >= 0.5 THEN 'unhealthy'
-                        WHEN n_failed / CAST(n_docs AS DOUBLE) > 0.01 THEN 'degraded'
-                        ELSE 'healthy' END AS status
+                   {_STATUS_CASE} AS status
+            FROM l
+        """,
+        "backend_listing": f"""
+            WITH {_LINEAGE_CTE}
+            SELECT backend,
+                   CASE WHEN backend = 'deepseek-ocr'
+                        THEN 'DeepSeek-OCR-analog lifecycle (reference: deepseek_ocr_backend.py).'
+                        ELSE 'MinerU-analog lifecycle (reference: mineru_backend.py).'
+                   END AS description,
+                   n_docs, n_success, n_failed,
+                   {_STATUS_CASE} AS status
             FROM l
         """,
         "host_counts": """
@@ -879,6 +971,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, 6) AS cosine
             FROM s WHERE cosine >= 0.95
+        """,
+        # fake decode replayed at the byte level: frame ids are
+        # sha256(payload || ascii suffix), payloads are utf-8 of text
+        "media_frames": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text,
+                       500 + 700 * (doc_id % 5) AS duration_ms
+                FROM documents
+            ),
+            f AS (
+                SELECT media_id, text,
+                       unnest(generate_series(
+                           0, greatest(duration_ms // 1000, 1) - 1
+                       )) AS frame_idx
+                FROM m
+            )
+            SELECT media_id, frame_idx,
+                   sha256(text || '#frame-' || frame_idx) AS frame_sha256
+            FROM f
+        """,
+        # fake decode dims = 320 + (digest hex nibbles as int) % 1600
+        "media_features": f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+            )
+            SELECT media_id,
+                   CAST(320 + ({_hex4_int('hx', 1)}) % 1600 AS BIGINT)
+                       AS width,
+                   CAST(320 + ({_hex4_int('hx', 5)}) % 1600 AS BIGINT)
+                       AS height,
+                   hx AS sha256
+            FROM h
         """,
         "text_token_counts": r"""
             SELECT doc_id,

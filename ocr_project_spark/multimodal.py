@@ -154,12 +154,15 @@ def sample_frames(
                 data = bytes(payload)
                 n_frames = max(int(duration) // every_ms, 1)
                 for i in range(n_frames):
+                    # ASCII frame suffix: a pure byte-level function that a
+                    # SQL differential oracle can replay (sha256(payload ||
+                    # '#frame-' || i)) when the payload is valid text
                     rows.append(
                         {
                             "media_id": int(media_id),
                             "frame_idx": i,
                             "frame_sha256": hashlib.sha256(
-                                data + i.to_bytes(4, "big")
+                                data + b"#frame-%d" % i
                             ).hexdigest(),
                         }
                     )
