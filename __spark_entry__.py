@@ -345,6 +345,16 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness budget (observed span / mean gap / recommended
+    crawl delay) via the salted two-stage host aggregation; warc_ts is
+    CRAWL_EPOCH + doc_id seconds, so the oracle re-derives every number
+    arithmetically."""
+    from ocr_project_spark.operators.skew import host_politeness
+
+    return host_politeness(_pages(spark, sf_dir))
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end WARC path: documents → synthesized WARC segments (real
     ISO-28500 framing, request records interleaved, gzipped one member per
@@ -529,16 +539,40 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k (k-means coarse quantizer, n_probe cells per query) over
-    the planted-copy corpus: exercises centroid training (bounded seeded
-    sample), inverted-list assignment, probing, and ranking with an exact
+    the planted-copy corpus: exercises DISTRIBUTED centroid training
+    (per-partition partial Lloyd aggregation — the driver never sees corpus
+    vectors), inverted-list assignment, probing, and ranking with an exact
     expected answer (see _planted_ann_corpus). Recall vs brute force is
     asserted in tests/test_jobs_and_extras.py."""
     from ocr_project_spark.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = _planted_ann_corpus(spark, sf_dir)
-    out = ivf_topk(corpus, emb.where("vec_id < 10"), k=2, n_cells=16, n_probe=4)
+    out = ivf_topk(
+        corpus,
+        emb.where("vec_id < 10"),
+        k=2,
+        n_cells=16,
+        n_probe=4,
+        train="distributed",
+    )
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
+def q_sim_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup keep-list over the planted-copy corpus: each copy
+    (+100000) has a lower-id near-duplicate at cosine ≈ 1.0 (guaranteed
+    LSH co-location), so the kept set is exactly the originals — exact
+    SQL. Natural cosine ceiling at this scale is ~0.51 ≪ 0.95."""
+    from ocr_project_spark.similarity import embedding_dedup_keep
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return embedding_dedup_keep(corpus, threshold=0.95)
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backend_listing": q_backend_listing,
         "host_counts": q_host_counts,
         "host_stats": q_host_stats,
+        "host_politeness": q_host_politeness,
         "latest_capture": q_latest_capture,
         "warc_extract": q_warc_extract,
         "page_selection": q_page_selection,
@@ -674,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "sim_embed_near_dup": q_sim_embed_near_dup,
+        "sim_dedup_keep": q_sim_dedup_keep,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "text_token_counts": q_text_token_counts,
@@ -863,6 +899,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(1735689600 + doc_id) AS BIGINT) AS last_epoch
             FROM documents GROUP BY 1
         """,
+        "host_politeness": """
+            WITH s AS (
+                SELECT CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                            ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                 || '.example.org'
+                       END AS host,
+                       count(*) AS n_urls,
+                       CAST(max(doc_id) - min(doc_id) AS BIGINT)
+                           AS span_seconds
+                FROM documents GROUP BY 1
+            )
+            SELECT host, n_urls, span_seconds,
+                   CAST(CASE WHEN n_urls > 1
+                        THEN floor(span_seconds * 1000 / (n_urls - 1))
+                        ELSE 0 END AS BIGINT) AS avg_gap_ms,
+                   CAST(greatest(1000,
+                        CASE WHEN n_urls > 1
+                             THEN floor(span_seconds * 1000 / (n_urls - 1))
+                             ELSE 0 END) AS BIGINT) AS recommended_delay_ms
+            FROM s
+        """,
         "warc_extract": f"""
             SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
         """,
@@ -971,6 +1028,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, 6) AS cosine
             FROM s WHERE cosine >= 0.95
+        """,
+        # each planted copy has a lower-id near-dup at cosine ≈ 1 → kept
+        # set = the originals, exactly
+        "sim_dedup_keep": """
+            SELECT vec_id FROM embeddings
         """,
         # fake decode replayed at the byte level: frame ids are
         # sha256(payload || ascii suffix), payloads are utf-8 of text

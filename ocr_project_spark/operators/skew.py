@@ -136,6 +136,41 @@ def host_stats(
     )
 
 
+def host_politeness(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    min_delay_ms: int = 1000,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Per-host politeness budget: observed crawl span, mean inter-request
+    gap, and a recommended crawl delay (``max(min_delay_ms, observed
+    gap)`` — never recrawl a domain faster than it was crawled, floor at
+    the policy minimum). Built on the salted two-stage host aggregation,
+    so a hot domain's millions of rows never converge on one reducer;
+    outputs are integer-safe for the differential oracle."""
+    stats = host_stats(df, url_col, ts_col, salt_buckets, hot)
+    span = F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+    gap = (
+        F.when(
+            F.col("n_urls") > 1,
+            F.floor(span * 1000 / (F.col("n_urls") - 1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return stats.select(
+        "host",
+        "n_urls",
+        span.cast("long").alias("span_seconds"),
+        gap.alias("avg_gap_ms"),
+        F.greatest(F.lit(min_delay_ms).cast("long"), gap).alias(
+            "recommended_delay_ms"
+        ),
+    )
+
+
 def salted_host_counts(
     df: DataFrame,
     url_col: str = "url",

@@ -64,6 +64,23 @@ def embedding_near_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def embedding_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-dedup materializer: the vec_ids a training pipeline keeps
+    after near-duplicate removal — drop every vector that has a
+    lower-id near-duplicate (the LSH-candidate + exact-verify pair set of
+    :func:`embedding_near_dup_pairs`), keep the rest. The anti-join is on
+    the (small) drop set; the corpus itself never re-shuffles."""
+    pairs = embedding_near_dup_pairs(embeddings, threshold, n_planes, dim, n_tables)
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return embeddings.select("vec_id").join(drops, "vec_id", "left_anti")
+
+
 def _cosine(vec_a, vec_b):
     dot = F.aggregate(
         F.zip_with(vec_a, vec_b, lambda x, y: x * y),
@@ -191,6 +208,67 @@ def ivf_centroids(
     return centroids
 
 
+def ivf_centroids_distributed(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    iters: int = 10,
+    seed: int = HYPERPLANE_SEED,
+) -> np.ndarray:
+    """IVF coarse quantizer trained fully distributed: each Lloyd iteration
+    is one narrow ``mapInPandas`` pass emitting per-partition partial
+    (cell, vector-sum, count) rows — the driver only ever combines
+    ``n_cells × n_partitions`` tiny aggregate rows, never corpus vectors,
+    so training holds at 10^12 documents unchanged. Initialization uses the
+    bounded seeded sample of :func:`ivf_centroids` (a few thousand points).
+    Deterministic: seeded init, fixed iteration count, partition-ordered
+    float combine."""
+    centroids = ivf_centroids(
+        embeddings, n_cells, dim, iters=0, seed=seed,
+        target_points=max(50 * n_cells, 1000),
+    )
+    n_cells_actual = len(centroids)
+    src = embeddings.select("embedding")
+    schema = "cell int, vec_sum array<double>, n long"
+    for _ in range(iters):
+        c = centroids
+
+        def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((n_cells_actual, dim), dtype=np.float64)
+            counts = np.zeros(n_cells_actual, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                assign = (mat @ c.T).argmax(axis=1)
+                np.add.at(sums, assign, mat)
+                counts += np.bincount(assign, minlength=n_cells_actual)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(n_cells_actual, dtype=np.int32),
+                        "vec_sum": list(sums),
+                        "n": counts,
+                    }
+                )
+
+        parts = src.mapInPandas(_partial, schema=schema).collect()
+        sums = np.zeros((n_cells_actual, dim), dtype=np.float64)
+        counts = np.zeros(n_cells_actual, dtype=np.int64)
+        for row in parts:
+            sums[row["cell"]] += np.asarray(row["vec_sum"], dtype=np.float64)
+            counts[row["cell"]] += row["n"]
+        nxt = centroids.copy()
+        nonempty = counts > 0
+        nxt[nonempty] = sums[nonempty] / counts[nonempty, None]
+        nxt /= np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
+        centroids = nxt
+    return centroids
+
+
 def _assign_cells(embeddings: DataFrame, centroids: np.ndarray, id_alias: str) -> DataFrame:
     """Narrow pass: nearest-centroid cell id per vector (one matmul/batch)."""
 
@@ -220,14 +298,23 @@ def ivf_topk(
     n_probe: int = 4,
     dim: int = 64,
     centroids: np.ndarray | None = None,
+    train: str = "sample",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed by nearest
     centroid (one narrow pass); each query probes only its ``n_probe``
     nearest cells. The join shuffles on the cell id — candidates per query ≈
     corpus · n_probe / n_cells, the scale knob. Recall vs brute force is
-    asserted in tests."""
+    asserted in tests.
+
+    ``train``: ``"sample"`` trains the quantizer on a bounded seeded sample
+    (cheap, default); ``"distributed"`` runs full-corpus Lloyd iterations
+    with per-partition partial aggregation — the driver never sees corpus
+    vectors at all."""
     if centroids is None:
-        centroids = ivf_centroids(embeddings, n_cells, dim)
+        if train == "distributed":
+            centroids = ivf_centroids_distributed(embeddings, n_cells, dim)
+        else:
+            centroids = ivf_centroids(embeddings, n_cells, dim)
     corpus_cells = _assign_cells(embeddings, centroids, "neighbor_id").select(
         "neighbor_id", "cell", F.col("embedding").cast("array<double>").alias("vec_n")
     )

@@ -121,3 +121,52 @@ def test_lsh_more_tables_more_recall(embeddings, queries):
         return len(brute & approx) / len(brute)
 
     assert recall(8) >= recall(1)
+
+
+def test_ivf_distributed_training_matches_scale_contract(spark):
+    """Distributed Lloyd training: deterministic across runs, unit-norm
+    centroids, and recall vs brute force at least as good as the sampled
+    trainer's floor."""
+    import numpy as np
+
+    from ocr_project_spark.similarity import (
+        brute_force_topk,
+        ivf_centroids_distributed,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ivf_centroids_distributed(emb, n_cells=8, iters=4)
+    c2 = ivf_centroids_distributed(emb, n_cells=8, iters=4)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+    queries = emb.where("vec_id < 10")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_cells=8, n_probe=4, train="distributed"
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"distributed-IVF recall {recall:.2f} too low"
+
+
+def test_embedding_dedup_keep_drops_planted_copies(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.similarity import embedding_dedup_keep
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    kept = {r["vec_id"] for r in embedding_dedup_keep(corpus, 0.95).collect()}
+    originals = {r["vec_id"] for r in emb.collect()}
+    assert kept == originals

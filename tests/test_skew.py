@@ -110,3 +110,22 @@ def test_salted_host_counts_exact(pages):
     got = {r["host"]: r["n_urls"] for r in salted_host_counts(pages).collect()}
     assert got == expected
     assert got[HOT_HOST] > 0.25 * sum(expected.values())
+
+
+def test_host_politeness_budget(spark, pages):
+    """Politeness budget: recommended delay is the observed gap floored at
+    the policy minimum; hosts crawled once get the minimum."""
+    from ocr_project_spark.operators.skew import host_politeness, host_stats
+
+    out = {r["host"]: r for r in host_politeness(pages).collect()}
+    stats = {r["host"]: r for r in host_stats(pages).collect()}
+    assert out.keys() == stats.keys()
+    for host, r in out.items():
+        s = stats[host]
+        span = int((s["last_ts"] - s["first_ts"]).total_seconds())
+        assert r["span_seconds"] == span
+        if r["n_urls"] > 1:
+            assert r["avg_gap_ms"] == span * 1000 // (r["n_urls"] - 1)
+        else:
+            assert r["avg_gap_ms"] == 0
+        assert r["recommended_delay_ms"] == max(1000, r["avg_gap_ms"])
