@@ -35,6 +35,13 @@ def parse_args(argv=None):
     p.add_argument("--lineage", help="lineage output path")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--circuit-breaker",
+        action="store_true",
+        help="replay the prior run's lineage through the R3 health state "
+        "machine and short-circuit tripped backends to model-not-loaded "
+        "rows (requires --lineage)",
+    )
     return p.parse_args(argv)
 
 
@@ -70,6 +77,7 @@ def main(argv=None, spark=None) -> None:
             args.results,
             lineage_path=args.lineage,
             num_partitions=args.num_partitions,
+            circuit_breaker=args.circuit_breaker,
         )
     finally:
         if owns_session:

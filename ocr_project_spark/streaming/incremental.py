@@ -61,3 +61,52 @@ def extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def extract_stream_with_lineage(
+    spark: SparkSession,
+    input_path: str,
+    results_path: str,
+    lineage_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental extraction that also emits per-micro-batch lineage rows
+    (the streaming analog of the batch job's lineage sink): each micro-batch
+    appends its results AND its per-(partition, backend) lineage rows
+    stamped with the ``batch_id`` — the crawl-operations ledger that tells
+    an operator which segment batch produced which doc/byte counts.
+
+    Uses ``foreachBatch``: the file-source checkpoint still guarantees each
+    segment is *read* once; a crash between the two appends inside one
+    micro-batch can replay that batch (at-least-once within the batch),
+    which downstream dedup handles by batch_id — the standard Spark
+    trade-off for multi-sink streaming, documented rather than hidden.
+    """
+    from pyspark.sql import functions as F
+
+    from ocr_project_spark.operators.lineage import lineage_rows
+
+    reader = spark.readStream.schema(STREAM_PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+    results = extract_documents(pages)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(results_path)
+            lineage_rows(batch_df).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(lineage_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = results.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

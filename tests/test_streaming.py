@@ -43,3 +43,37 @@ def test_incremental_extraction_exactly_once(spark, pages, documents, tmp_path):
         documents.select("doc_id", F.col("text").alias("truth")), "doc_id"
     )
     assert joined.where(F.col("text") != F.col("truth")).count() == 0
+
+
+def test_incremental_extraction_with_lineage(spark, pages, tmp_path):
+    """Streaming lineage: each micro-batch appends per-(partition, backend)
+    lineage rows stamped with its batch_id; re-draining with the same
+    checkpoint processes nothing new."""
+    from ocr_project_spark.streaming.incremental import extract_stream_with_lineage
+
+    inp = str(tmp_path / "segments")
+    out = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_segment(pages, inp, 0, 200)
+    q = extract_stream_with_lineage(spark, inp, out, lin, ckpt)
+    q.awaitTermination(120)
+    lineage1 = spark.read.parquet(lin)
+    batches1 = {r["batch_id"] for r in lineage1.select("batch_id").distinct().collect()}
+    n_docs1 = lineage1.agg(F.sum("n_docs")).collect()[0][0]
+    assert n_docs1 == pages.where("doc_id < 200").count()
+
+    _write_segment(pages, inp, 200, 10_000)
+    q = extract_stream_with_lineage(spark, inp, out, lin, ckpt)
+    q.awaitTermination(120)
+    lineage2 = spark.read.parquet(lin)
+    batches2 = {r["batch_id"] for r in lineage2.select("batch_id").distinct().collect()}
+    assert batches2 > batches1  # new batch ids appended, old retained
+    assert lineage2.agg(F.sum("n_docs")).collect()[0][0] == pages.count()
+    assert spark.read.parquet(out).count() == pages.count()
+
+    # drain again with nothing new: no extra lineage
+    q = extract_stream_with_lineage(spark, inp, out, lin, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(lin).count() == lineage2.count()
