@@ -1,0 +1,113 @@
+"""Plan-contract tests: the physical-plan properties PLANS.md documents,
+asserted so a regression (lost pushdown, an extra shuffle, a dropped
+broadcast) fails the suite instead of silently shipping.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan of a DataFrame (what .explain prints)."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical operators by their detail headers ('(2) Exchange'),
+    not raw substrings (each node appears twice in formatted output)."""
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if ln.startswith("(") and ln.split(") ", 1)[-1].strip() == op
+    )
+
+
+@pytest.fixture(scope="module")
+def results_path(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "results")
+    from ocr_project_spark.pipeline import run_extraction
+
+    run_extraction(pages, repartition=False).write.parquet(path)
+    return path
+
+
+def test_extraction_has_single_shuffle_and_pruned_scan(spark, tmp_path_factory):
+    """SURVEY §3.1 / PLANS §3: scan pruned to the 4 extraction columns, ONE
+    url-hash exchange, narrow MapInPandas, parity fields as a projection."""
+    from ocr_project_spark.pipeline import run_extraction
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    from ocr_project_spark.datagen import synthesize_pages
+
+    synthesize_pages(spark, "/root/testdata/sf0.001").write.parquet(path)
+    plan = plan_of(run_extraction(spark.read.parquet(path), num_partitions=8))
+    assert n_nodes(plan, "Exchange") == 1  # only the url-hash repartition
+    assert "xxhash64(url" in plan
+    # column pruning reached the scan: none of the pruned columns are read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("url", "html", "doc_id", "backend"):
+        assert col in read_schema
+    for col in ("warc_ts", "text:", "lang"):
+        assert col not in read_schema
+    # round-2 parity fields are a JVM projection above the Python stage
+    assert "MapInPandas" in plan and "Project" in plan
+
+
+def test_resume_antijoin_reads_only_url(spark, pages, results_path):
+    """PLANS §2: the done-side scan of the resume anti-join is pruned to the
+    url column — the checkpoint payloads are never read."""
+    from ocr_project_spark.operators.resume import completed_urls, resume_filter
+
+    done = completed_urls(spark, results_path)
+    plan = plan_of(resume_filter(pages, done))
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    done_side = [ln for ln in read_schemas if "url" in ln]
+    assert done_side and all("markdown" not in ln for ln in read_schemas)
+    assert "LeftAnti" in plan
+
+
+def test_flagship_rollup_broadcasts_dim_and_partial_aggs(spark):
+    """PLANS §4: dimension side broadcast (fact side never shuffles for the
+    join), aggregation partial→final."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_flagship_rollup(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert n_nodes(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_brute_topk_broadcasts_queries(spark):
+    """similarity: the (small) query side is broadcast — the corpus is
+    scanned once with no corpus-side shuffle before scoring."""
+    from ocr_project_spark.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(brute_force_topk(emb, emb.where("vec_id < 5"), k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_partial_aggregation(spark, documents):
+    """dedup: md5 groupBy decomposes into partial+final HashAggregate (one
+    row per distinct hash crosses the wire per partition)."""
+    from ocr_project_spark.dedup import exact_dup_groups
+
+    plan = plan_of(exact_dup_groups(documents))
+    assert n_nodes(plan, "HashAggregate") >= 2
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """Catalyst pushes the predicate into the parquet scan. Uses a table no
+    fixture caches: a cached relation resolves to InMemoryTableScan, which
+    has no pushdown surface."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = plan_of(
+        orders.where(F.col("o_orderkey") < 100).select("o_orderkey", "o_custkey")
+    )
+    assert (
+        "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]"
+        in plan
+    )
