@@ -462,6 +462,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication inventory: cross-document repeated 8-word
+    spans over the planted-dup corpus (exact aggregation → exact oracle)."""
+    from ocr_project_spark.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(_dedup_corpus_de(spark, sf_dir), n=8)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over base ∪ planted exact copies (+100000),
     projected to the planted pairs (id_b = id_a + 100000). Identical text ⇒
@@ -649,6 +657,14 @@ def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(_docs(spark, sf_dir))
 
 
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style multi-signal quality gate; integer-safe features
+    emitted alongside the verdict so the oracle replays the gate exactly."""
+    from ocr_project_spark.textops import gopher_gate
+
+    return gopher_gate(_docs(spark, sf_dir))
+
+
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import fingerprints
 
@@ -703,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_brute": q_sim_topk_brute,
@@ -715,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
+        "gopher_gate": q_gopher_gate,
         "text_fingerprints": q_text_fingerprints,
         "corpus_stats": q_corpus_stats,
         "corpus_percentiles": q_corpus_percentiles,
@@ -958,6 +976,25 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY 1 HAVING count(*) > 1
         """,
         "dedup_ngram_jaccard": _JACCARD_DE_SQL,
+        "dedup_repeated_ngrams": f"""
+            WITH {_DEDUP_CORPUS},
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1,
+                               greatest(len(string_split(text, ' ')) - 7, 1)),
+                           i -> array_to_string(
+                               list_slice(string_split(text, ' '), i, i + 7),
+                               ' ')
+                       )) AS gram
+                FROM corpus WHERE lang = 'de'
+            )
+            SELECT gram,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM g GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
         # the LSH-verified output equals exact Jaccard at ≥0.8 (candidate
         # recall ≈ 1 - 1e-7 at 128 hashes / 32 bands)
         "dedup_minhash": _JACCARD_DE_SQL,
@@ -1099,6 +1136,28 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(floor(length(replace(text, ' ', '')) * 100
                        / len(string_split(text, ' '))) AS BIGINT)
                   BETWEEN 200 AND 900
+        """,
+        "gopher_gate": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_words,
+                       CAST(floor(length(replace(text, ' ', '')) * 100
+                            / len(string_split(text, ' '))) AS BIGINT)
+                           AS avg_word_len_x100,
+                       CAST(floor(len(list_filter(string_split(text, ' '),
+                                w -> regexp_matches(w, '[a-zA-Z]'))) * 100
+                            / len(string_split(text, ' '))) AS BIGINT)
+                           AS alpha_word_ratio_x100,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                w -> w = 'a' OR w = 'the')) AS BIGINT)
+                           AS stopword_hits
+                FROM documents
+            )
+            SELECT * FROM f
+            WHERE n_words BETWEEN 20 AND 100000
+              AND avg_word_len_x100 BETWEEN 200 AND 1000
+              AND alpha_word_ratio_x100 >= 80
+              AND stopword_hits >= 2
         """,
         "text_fingerprints": """
             SELECT doc_id, md5(text) AS md5_fingerprint,

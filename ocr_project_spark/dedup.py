@@ -108,6 +108,42 @@ def shingle_sets(
     return docs.select(F.col(id_col).alias("doc_id"), grams.alias("shingles"))
 
 
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication signal: word ``n``-grams occurring in at
+    least ``min_docs`` distinct documents — the cross-document repeated-span
+    inventory that substring dedup pipelines (boilerplate spans, licence
+    headers, templated paragraphs) prune before training.
+
+    All positions count (not the distinct-set shingles the Jaccard family
+    uses): explode → groupBy(gram) with partial aggregation; the shuffle is
+    one row per (gram, partial count). At 100 TB the gram column would be
+    ``xxhash64(gram)`` (8 bytes instead of the string); the string form is
+    kept here so a differential oracle can replay the exact output.
+    Output: (gram, n_docs, n_occurrences).
+    """
+    words = F.split(F.col(text_col), " ")
+    cnt = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

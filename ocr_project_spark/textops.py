@@ -79,6 +79,50 @@ def quality_gate(
     ).select("doc_id", "n_words", "avg_word_len_x100")
 
 
+def gopher_gate(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_avg_word_len_x100: int = 200,
+    max_avg_word_len_x100: int = 1000,
+    min_alpha_word_ratio_x100: int = 80,
+    min_stopword_hits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-rules-style multi-signal quality gate (word-count bounds, mean
+    word length band, fraction of words containing an alphabetic character,
+    minimum stopword evidence) — the repetition-and-junk filter a webtext
+    training corpus applies after extraction. Pure JVM expressions,
+    integer-safe thresholds so a DuckDB oracle replays the gate exactly;
+    emits the per-doc features alongside the verdict so the gate is
+    auditable, and filters to survivors."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    chars_no_space = F.length(F.regexp_replace(t, " ", ""))
+    avg_wl = F.floor(chars_no_space * 100 / n_words).cast("long")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = F.floor(alpha_words * 100 / n_words).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, w))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        avg_wl.alias("avg_word_len_x100"),
+        alpha_ratio.alias("alpha_word_ratio_x100"),
+        stop_hits.alias("stopword_hits"),
+    ).where(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("avg_word_len_x100") >= min_avg_word_len_x100)
+        & (F.col("avg_word_len_x100") <= max_avg_word_len_x100)
+        & (F.col("alpha_word_ratio_x100") >= min_alpha_word_ratio_x100)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+
+
 def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language corpus rollup: doc counts, word totals, exact
     avg/min/max word counts (integer-safe) — the dataset-card numbers a

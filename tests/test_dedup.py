@@ -118,3 +118,23 @@ def test_exact_dedup_on_real_documents(documents):
         documents.groupBy("text").count().where(F.col("count") > 1).count()
     )
     assert exact_dup_groups(documents).count() == dup_rows
+
+
+def test_repeated_ngram_spans(spark):
+    """Cross-document repeated spans: a shared 8-gram is reported with its
+    doc count and occurrence count; document-internal repeats alone don't
+    qualify."""
+    from ocr_project_spark.dedup import repeated_ngram_spans
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (0, shared + " aaa bbb"),
+        (1, "xxx yyy " + shared),
+        (2, "unrelated words only here nothing shared at all"),
+        (3, "solo " + " ".join(f"r{i}" for i in range(8)) * 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: r for r in repeated_ngram_spans(df, n=8).collect()}
+    assert shared in out
+    assert out[shared]["n_docs"] == 2 and out[shared]["n_occurrences"] == 2
+    assert all(r["n_docs"] >= 2 for r in out.values())

@@ -118,3 +118,21 @@ def test_lang_id_matches_ground_truth(pages, documents):
     total = joined.count()
     correct = joined.where(F.col("pred_lang") == F.col("lang")).count()
     assert correct / total > 0.98
+
+
+def test_gopher_gate_rules(spark):
+    """Each Gopher-style rule independently rejects: too short, degenerate
+    word length, non-alphabetic junk, missing stopword evidence."""
+    from ocr_project_spark.textops import gopher_gate
+
+    good = "the quick brown fox jumps over a lazy dog " * 3  # 30 words, stopwords
+    rows = [
+        (0, good.strip()),
+        (1, "too short a the"),  # < 20 words
+        (2, " ".join(["a"] * 25)),  # avg word len 1.00 < 2.00
+        (3, " ".join(["1234"] * 18) + " a the"),  # alpha ratio 10% < 80%
+        (4, " ".join(f"w{i}" for i in range(25))),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in gopher_gate(df).collect()}
+    assert kept == {0}
