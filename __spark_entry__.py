@@ -145,14 +145,17 @@ WHERE len(list_intersect(a.shingles, b.shingles))
 """
 
 
-def _hex4_int(col_expr: str, offset: int) -> str:
-    """SQL for parsing 4 lowercase-hex chars at 1-based ``offset`` of
-    ``col_expr`` into an int (DuckDB has no hex→int cast)."""
+def _hex_int(col_expr: str, offset: int, nchars: int = 4) -> str:
+    """SQL for parsing ``nchars`` lowercase-hex chars at 1-based ``offset``
+    of ``col_expr`` into an int (DuckDB has no hex→int cast)."""
     return " + ".join(
         f"(strpos('0123456789abcdef', substr({col_expr}, {offset + i}, 1)) - 1)"
-        f" * {16 ** (3 - i)}"
-        for i in range(4)
+        f" * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
     )
+
+
+_hex4_int = _hex_int
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +637,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature plumbing on the deterministic fake path (the real WAV
+    decode is pytest-covered — binary WAV payloads are not constructible in
+    SQL): every output is a pure function of sha256(payload), replayed by
+    the oracle from the digest's hex nibbles."""
+    from ocr_project_spark.multimodal import audio_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = audio_features(media, decode="fake")
+    return out.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples",
+        "duration_ms",
+        "rms_x1000",
+        "zero_crossings",
+    )
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import token_counts
 
@@ -729,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dedup_keep": q_sim_dedup_keep,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        "media_audio": q_media_audio,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
@@ -1089,6 +1116,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, frame_idx,
                    sha256(text || '#frame-' || frame_idx) AS frame_sha256
             FROM f
+        """,
+        # fake audio features: every number derives from sha256 digest
+        # byte ranges, replayed here from the hex nibbles
+        "media_audio": f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+            ),
+            v AS (
+                SELECT media_id,
+                       8000 + ({_hex_int('hx', 1, 4)}) % 40000 AS sample_rate,
+                       1000 + ({_hex_int('hx', 5, 6)}) % 100000 AS n_samples,
+                       ({_hex_int('hx', 11, 4)}) % 1000 AS rms_x1000,
+                       ({_hex_int('hx', 15, 6)}) AS zc_raw
+                FROM h
+            )
+            SELECT media_id,
+                   CAST(sample_rate AS BIGINT) AS sample_rate,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   CAST(n_samples * 1000 // sample_rate AS BIGINT)
+                       AS duration_ms,
+                   CAST(rms_x1000 AS BIGINT) AS rms_x1000,
+                   CAST(zc_raw % n_samples AS BIGINT) AS zero_crossings
+            FROM v
         """,
         # fake decode dims = 320 + (digest hex nibbles as int) % 1600
         "media_features": f"""

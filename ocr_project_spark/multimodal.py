@@ -210,6 +210,119 @@ def image_features(media: DataFrame, decode: str = "strict") -> DataFrame:
     )
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, "
+    "rms_x1000 long, zero_crossings long"
+)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for RIFF/WAVE PCM (8- or 16-bit) — chunk walk with
+    stdlib struct + numpy sample view, no codec library. Returns
+    (mono float64 samples in [-1, 1], sample_rate). Raises ValueError for
+    non-WAV payloads and unsupported encodings."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV encoding (fmt={audio_format}, bits={bits})")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        samples = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    if channels > 1:
+        n = len(samples) // channels * channels
+        samples = samples[:n].reshape(-1, channels).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """mono float [-1,1] → 16-bit PCM WAV bytes (the test-fixture inverse)."""
+    import struct
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def audio_features(media: DataFrame, decode: str = "strict") -> DataFrame:
+    """binary audio column → (sample_rate, sample/duration counts, RMS
+    energy, zero crossings) — the silence/clipping/energy gates an audio
+    training pipeline filters on. RIFF/WAVE PCM decodes FOR REAL (see
+    :func:`decode_wav`); compressed codecs raise in strict mode; ``fake``
+    is the digest-derived stand-in. Integer-scaled outputs
+    (``rms_x1000``)."""
+    if decode not in ("strict", "fake"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if decode == "fake":
+                    digest = hashlib.sha256(data).digest()
+                    rate = 8000 + int.from_bytes(digest[0:2], "big") % 40000
+                    n = 1000 + int.from_bytes(digest[2:5], "big") % 100000
+                    rms = int.from_bytes(digest[5:7], "big") % 1000
+                    zc = int.from_bytes(digest[7:10], "big") % n
+                elif data[:4] == b"RIFF":
+                    samples, rate = decode_wav(data)
+                    n = len(samples)
+                    rms = int(np.sqrt(np.mean(samples**2)) * 1000) if n else 0
+                    zc = int(np.count_nonzero(np.diff(np.signbit(samples))))
+                else:
+                    raise NotImplementedError(
+                        "this audio format requires a codec library on the "
+                        "executors; RIFF/WAVE PCM decodes natively, or use "
+                        "decode='fake' for the deterministic stand-in"
+                    )
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // max(rate, 1),
+                        "rms_x1000": rms,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms_x1000",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, decode: str = "strict"
 ) -> DataFrame:

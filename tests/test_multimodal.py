@@ -144,3 +144,57 @@ def test_strict_mode_still_raises_on_undecodable(spark, media):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_real_wav_decode_roundtrip():
+    import numpy as np
+
+    from ocr_project_spark.multimodal import decode_wav, encode_wav
+
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_wav(encode_wav(sine, 8000))
+    assert rate == 8000 and len(samples) == 8000
+    assert np.max(np.abs(samples - sine)) < 1e-3  # 16-bit quantization
+
+
+def test_audio_features_real_decode(spark):
+    """Strict mode really decodes WAV: duration from the header, RMS of a
+    0.5-amplitude sine ≈ 0.354, zero crossings ≈ 2·f·duration."""
+    import numpy as np
+
+    from ocr_project_spark.multimodal import MEDIA_SCHEMA, audio_features, encode_wav
+
+    rows = []
+    for media_id, freq in ((0, 440), (1, 100)):
+        t = np.arange(16000) / 8000.0  # 2 seconds at 8 kHz
+        wav = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 8000)
+        rows.append((media_id, "audio", bytearray(wav),
+                     ("audio/wav", None, None, 2000)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_features(media, decode="strict").collect()}
+    for media_id, freq in ((0, 440), (1, 100)):
+        r = out[media_id]
+        assert r["sample_rate"] == 8000 and r["duration_ms"] == 2000
+        assert abs(r["rms_x1000"] - 354) <= 2  # 0.5/sqrt(2)
+        assert abs(r["zero_crossings"] - 2 * freq * 2) <= 2
+
+
+def test_audio_strict_raises_on_undecodable(spark, media):
+    import pytest as _pytest
+
+    from ocr_project_spark.multimodal import audio_features
+
+    with _pytest.raises(Exception) as exc_info:
+        audio_features(media, decode="strict").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_audio_features_fake_deterministic(spark, media):
+    from ocr_project_spark.multimodal import audio_features
+
+    a = audio_features(media, decode="fake").collect()
+    b = audio_features(media, decode="fake").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
