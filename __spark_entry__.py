@@ -289,6 +289,34 @@ def q_prompt_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where("success").select("doc_id", "markdown", "text")
 
 
+def q_locate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 'rec' prompt (config.py:36): each html doc gets
+    'Locate <|ref|>{its first paragraph}<|/ref|> in the image.' — the
+    engine answers with det markers for exactly the blocks equal to the
+    requested text; the oracle replays the block-match and the page/index
+    box math in SQL."""
+    from ocr_project_spark.operators.extract import extract_documents
+
+    pages = _pages(spark, sf_dir).where("doc_id % 2 = 0")
+    first_para = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    prompt = F.concat(
+        F.lit("Locate <|ref|>"), first_para, F.lit("<|/ref|> in the image.")
+    )
+    out = extract_documents(pages.withColumn("prompt", prompt))
+    return (
+        out.where("success")
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.ref").alias("ref"),
+            F.col("s.x1").cast("long").alias("x1"),
+            F.col("s.y1").cast("long").alias("y1"),
+            F.col("s.x2").cast("long").alias("x2"),
+            F.col("s.y2").cast("long").alias("y2"),
+        )
+    )
+
+
 def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5 health rollup over per-partition lineage rows."""
     from ocr_project_spark.operators.lineage import health_rollup, lineage_rows
@@ -732,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_output_identity": q_raw_output_identity,
         "unified_fields": q_unified_fields,
         "prompt_modes": q_prompt_modes,
+        "locate_spans": q_locate_spans,
         "lineage_health": q_lineage_health,
         "backend_listing": q_backend_listing,
         "host_counts": q_host_counts,
@@ -906,6 +935,41 @@ def oracle_sql() -> dict[str, str]:
               END AS raw_output
             FROM d
             WHERE doc_id % 2 = 1 OR n_pages = 1
+        """,
+        "locate_spans": f"""
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       {_N_PARAS} AS n_paras, {_N_PAGES} AS n_pages
+                FROM documents
+                WHERE {_WELL_FORMED} AND doc_id % 2 = 0
+            ),
+            s AS (
+                SELECT doc_id, words, n_paras, n_pages,
+                       unnest(generate_series(0, n_paras - 1)) AS j
+                FROM d
+            ),
+            b AS (
+                SELECT doc_id, words, j,
+                       ((j + 1) * n_pages - 1) // n_paras AS p,
+                       n_paras, n_pages
+                FROM s
+            ),
+            i AS (
+                SELECT doc_id, words, j,
+                       j - (p * n_paras) // n_pages AS idx
+                FROM b
+            )
+            SELECT doc_id,
+                   array_to_string(list_slice(words, j * 8 + 1, j * 8 + 8), ' ')
+                       AS ref,
+                   CAST(40 AS BIGINT) AS x1,
+                   CAST(least(40 + idx * 60, 930) AS BIGINT) AS y1,
+                   CAST(959 AS BIGINT) AS x2,
+                   CAST(least(least(40 + idx * 60, 930) + 50, 980) AS BIGINT)
+                       AS y2
+            FROM i
+            WHERE array_to_string(list_slice(words, j * 8 + 1, j * 8 + 8), ' ')
+                  = array_to_string(list_slice(words, 1, 8), ' ')
         """,
         "lineage_health": f"""
             WITH {_LINEAGE_CTE}

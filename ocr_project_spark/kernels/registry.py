@@ -14,6 +14,7 @@ raw-output wire shape, markdown assembly, and error-string shapes.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from ocr_project_spark.contract import (
@@ -83,7 +84,8 @@ def _error(backend: str, file_type: str, err: str) -> DocResult:
 # markdown faithfully degrades to the empty-result sentinel.
 MODE_GROUNDING = "grounding"
 MODE_FREE = "free"
-VALID_MODES = (MODE_GROUNDING, MODE_FREE)
+MODE_LOCATE = "locate"  # config.py:36 'rec' prompt: locate a text span
+VALID_MODES = (MODE_GROUNDING, MODE_FREE, MODE_LOCATE)
 
 # Per-request prompt passthrough (reference: the request schema carries a
 # free-form prompt string handed to the DeepSeek arm; the known templates
@@ -96,6 +98,10 @@ VALID_MODES = (MODE_GROUNDING, MODE_FREE)
 PROMPT_IMAGE_TOKEN = "<image>\n"
 PROMPT_GROUNDING_MARKER = "<|grounding|>"  # config.py:27,30-31
 PROMPT_FREE = "Free OCR."  # config.py:28,32
+# config.py:36 'rec' template: Locate <|ref|>xxxx<|/ref|> in the image.
+_LOCATE_PATTERN = re.compile(
+    r"^Locate <\|ref\|>(.*)<\|/ref\|> in the image\.$", re.DOTALL
+)
 
 
 def resolve_mode(prompt: str | None) -> str:
@@ -105,15 +111,26 @@ def resolve_mode(prompt: str | None) -> str:
     p = prompt.removeprefix(PROMPT_IMAGE_TOKEN)
     if p == PROMPT_FREE:
         return MODE_FREE
+    if _LOCATE_PATTERN.match(p):
+        return MODE_LOCATE
     if PROMPT_GROUNDING_MARKER in p:
         return MODE_GROUNDING
     return MODE_GROUNDING  # unknown prompt → documented default template
+
+
+def locate_target(prompt: str | None) -> str | None:
+    """The ref text of a 'rec' locate prompt, or None."""
+    if not prompt:
+        return None
+    m = _LOCATE_PATTERN.match(prompt.removeprefix(PROMPT_IMAGE_TOKEN))
+    return m.group(1) if m else None
 
 
 def process_html_arm(
     payload: bytes,
     selected_pages: list[int] | None = None,
     mode: str = MODE_GROUNDING,
+    locate_ref: str | None = None,
 ) -> DocResult:
     """DeepSeek-OCR-analog lifecycle (reference: deepseek_ocr_backend.py).
 
@@ -122,6 +139,11 @@ def process_html_arm(
     Multi-page documents follow the pdf path: *exact-set* page selection
     (296-302), per-page raw content joined with byte-exact page separators
     (351-377) — note the reference's pdf markdown keeps the raw markers.
+
+    ``locate`` mode (the 'rec' prompt template, process/config.py:36):
+    markers are emitted only for blocks whose text equals ``locate_ref`` —
+    the deterministic analog of the model answering a locate prompt with
+    det markers for the requested span; ``text`` is the located content.
     """
     file_type = FILE_TYPE_IMAGE
     try:
@@ -137,6 +159,16 @@ def process_html_arm(
                 continue
             if mode == MODE_FREE:
                 markers = "\n".join(blocks)
+            elif mode == MODE_LOCATE:
+                matches = [
+                    (i, t) for i, t in enumerate(blocks) if t == locate_ref
+                ]
+                markers = "\n".join(
+                    make_span_marker(t, synthetic_box(i)) for i, t in matches
+                )
+                page_raws.append((page_no, markers))
+                texts.extend(t for _, t in matches)
+                continue
             else:
                 markers = "\n".join(
                     make_span_marker(t, synthetic_box(i))
@@ -180,6 +212,7 @@ def process_layout_arm(
     payload: bytes,
     selected_pages: list[int] | None = None,
     mode: str = MODE_GROUNDING,
+    locate_ref: str | None = None,
 ) -> DocResult:
     """MinerU-analog lifecycle (reference: mineru_backend.py).
 
@@ -187,10 +220,11 @@ def process_layout_arm(
     deliberate semantic divergence from the html arm, SURVEY §2.2 R4);
     markdown is the union_make-style blank-line join of reading-ordered
     blocks (331-333); no spans (the reference's mineru boxes stub returns "",
-    mineru_backend.py:356-373). ``mode`` is accepted and ignored — the
-    reference's MinerU arm takes no prompt (mineru_backend.py:25 fixed).
+    mineru_backend.py:356-373). ``mode``/``locate_ref`` are accepted and
+    ignored — the reference's MinerU arm takes no prompt
+    (mineru_backend.py:25 fixed).
     """
-    del mode
+    del mode, locate_ref
     file_type = FILE_TYPE_IMAGE
     try:
         pages = extract_pagedoc_pages(payload)

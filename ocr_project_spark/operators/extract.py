@@ -35,6 +35,7 @@ from ocr_project_spark.kernels.registry import (
     BACKEND_REGISTRY,
     DocResult,
     VALID_MODES,
+    locate_target,
     model_not_loaded_result,
     resolve_mode,
 )
@@ -111,8 +112,12 @@ def make_extract_fn(model_loaded: dict | None = None):
                 # explicit mode column wins; else a per-request prompt maps
                 # to a mode (reference: free-form prompt on the DeepSeek arm)
                 mode = pdf["mode"].iat[i] if has_mode else None
-                if not mode and has_prompt:
-                    mode = resolve_mode(pdf["prompt"].iat[i])
+                locate_ref = None
+                if has_prompt:
+                    prompt = pdf["prompt"].iat[i]
+                    if not mode:
+                        mode = resolve_mode(prompt)
+                    locate_ref = locate_target(prompt)
                 t0 = time.perf_counter()
                 if backend not in BACKEND_REGISTRY:
                     res = _reject(
@@ -135,7 +140,9 @@ def make_extract_fn(model_loaded: dict | None = None):
                 elif not gate.get(backend, True):
                     res = model_not_loaded_result(backend)
                 elif mode:
-                    res = BACKEND_REGISTRY[backend](bytes(payload), sel, mode)
+                    res = BACKEND_REGISTRY[backend](
+                        bytes(payload), sel, mode, locate_ref
+                    )
                 else:
                     res = BACKEND_REGISTRY[backend](bytes(payload), sel)
                 rows.append(

@@ -160,7 +160,7 @@ def test_invalid_mode_rejected(spark):
     )
     row = extract_documents(df).collect()[0]
     assert not row["success"]
-    assert row["error"] == "Invalid mode: fre. Valid modes: grounding, free"
+    assert row["error"] == "Invalid mode: fre. Valid modes: grounding, free, locate"
 
 
 def test_prompt_column_maps_to_modes(spark):
@@ -238,3 +238,28 @@ def test_boxes_image_empty_on_pdf_path(spark):
     row = extract_documents(df).collect()[0]
     assert row["file_type"] == "pdf" and row["spans"]
     assert row["boxes_image"] == ""
+
+
+def test_locate_prompt_mode(spark):
+    """'rec' prompt (reference config.py:36): markers only for blocks equal
+    to the requested text — including duplicate matches — and the located
+    content as text; a miss yields empty raw/spans."""
+    text = "alpha beta gamma " * 8 + "alpha beta"  # para 0 repeats at para 3
+    payload = build_html(0, text.strip(), "en").encode()  # single page
+    prompt = "Locate <|ref|>alpha beta gamma alpha beta gamma alpha beta<|/ref|> in the image."
+    rows = [
+        ("hit", payload, BACKEND_HTML, 0, prompt),
+        ("miss", payload, BACKEND_HTML, 0,
+         "Locate <|ref|>not present here<|/ref|> in the image."),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, backend string, doc_id long, prompt string"
+    )
+    out = {r["url"]: r for r in extract_documents(df).collect()}
+    hit = out["hit"]
+    assert hit["success"]
+    refs = [s["ref"] for s in hit["spans"]]
+    assert refs and all(r == "alpha beta gamma alpha beta gamma alpha beta" for r in refs)
+    assert hit["text"] == " ".join(refs)
+    miss = out["miss"]
+    assert miss["success"] and miss["spans"] == [] and miss["raw_output"] == ""
