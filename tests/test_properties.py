@@ -117,3 +117,38 @@ def test_assemble_pages_property(contents, ):
     positions = [md.find(f"\n<--- Page {p} --->\n") for p in processed]
     assert all(p >= 0 for p in positions)
     assert positions == sorted(positions)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_netpbm_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from ocr_project_spark.multimodal import decode_netpbm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_netpbm(encode_ppm(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from ocr_project_spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1, 1, size=n)
+    out, out_rate = decode_wav(encode_wav(samples, rate))
+    assert out_rate == rate and len(out) == n
+    # truncation (1 LSB) + the 32767-encode/32768-decode scale skew
+    assert np.max(np.abs(out - samples)) <= 2.0 / 32768
