@@ -288,6 +288,29 @@ def render_boxes_svg(
     return "".join(parts)
 
 
+# M2 — token-interleave cost constants (reference: process/image_process.py
+# :383-390 with IMAGE_SIZE=640, BASE_SIZE=1024, patch 16, downsample 4 from
+# process/config.py:8-12 and image_process.py:146-170):
+# num_queries = ceil((640/16)/4) = 10, num_queries_base = ceil((1024/16)/4) = 16
+NUM_QUERIES_TILE = 10
+NUM_QUERIES_BASE = 16
+
+
+def vision_token_cost(width: int, height: int, image_size: int = 640) -> int:
+    """M2 — the exact per-image vision-token count of the reference's token
+    interleave (image_process.py:391-401): the global view contributes
+    ``(nq_base + 1) · nq_base + 1`` tokens, and a tiled image adds
+    ``(nq·n_tiles_w + 1) · (nq·n_tiles_h)``. This is the per-document cost
+    model a 100 TB scheduler weighs work by (SURVEY §2.4 M2): token cost —
+    not byte count — is what bounded the reference's GPU batches
+    (max_num_batched_tokens, deepseek_ocr_backend.py:113)."""
+    nw, nh = tiling_plan(width, height, image_size)
+    tokens = (NUM_QUERIES_BASE + 1) * NUM_QUERIES_BASE + 1
+    if nw > 1 or nh > 1:
+        tokens += (NUM_QUERIES_TILE * nw + 1) * (NUM_QUERIES_TILE * nh)
+    return tokens
+
+
 def tiling_plan(width: int, height: int, image_size: int = 640) -> tuple[int, int]:
     """D2/D3 — tile grid with the small-image bypass: images that fit within a
     single tile skip tiling entirely (crop ratio (1, 1)).

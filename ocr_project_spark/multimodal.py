@@ -53,7 +53,7 @@ MEDIA_SCHEMA = T.StructType(
 
 IMAGE_FEATURE_SCHEMA = (
     "media_id long, width int, height int, n_tiles_w int, n_tiles_h int, "
-    "sha256 string, feature array<float>"
+    "n_tokens int, sha256 string, feature array<float>"
 )
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_sha256 string"
@@ -153,9 +153,11 @@ def image_features(media: DataFrame, decode: str = "strict") -> DataFrame:
     """binary image column → (dims, tile plan, content hash, feature vector).
 
     The tile plan reuses the reference's deterministic tiling math
-    (process/image_process.py:21-111 — D2/D3), which at scale doubles as the
-    per-document cost model for skew control (SURVEY §2.4 M2)."""
-    from ocr_project_spark.functions.markers import tiling_plan
+    (process/image_process.py:21-111 — D2/D3), and ``n_tokens`` is the
+    reference's exact token-interleave count for that plan
+    (image_process.py:383-401) — the per-document cost model for skew /
+    batch-budget control at scale (SURVEY §2.4 M2)."""
+    from ocr_project_spark.functions.markers import tiling_plan, vision_token_cost
 
     if decode not in ("strict", "fake"):
         raise ValueError(f"unknown decode mode: {decode}")
@@ -188,6 +190,7 @@ def image_features(media: DataFrame, decode: str = "strict") -> DataFrame:
                         "height": h,
                         "n_tiles_w": tw,
                         "n_tiles_h": th,
+                        "n_tokens": vision_token_cost(w, h),
                         "sha256": hashlib.sha256(data).hexdigest(),
                         "feature": feature,
                     }
@@ -200,6 +203,7 @@ def image_features(media: DataFrame, decode: str = "strict") -> DataFrame:
                     "height",
                     "n_tiles_w",
                     "n_tiles_h",
+                    "n_tokens",
                     "sha256",
                     "feature",
                 ],

@@ -188,3 +188,20 @@ def test_tiling_grid_selection():
     for dims in [(1000, 700), (3000, 500), (700, 2100)]:
         tw, th = count_tiles(*dims)
         assert 2 <= tw * th <= 6
+
+
+def test_vision_token_cost_golden():
+    """M2 token interleave replayed exactly (image_process.py:383-401 with
+    the config constants): global view = (16+1)*16+1 = 273; a tiled image
+    adds (10*nw + 1) * (10*nh)."""
+    from ocr_project_spark.functions.markers import tiling_plan, vision_token_cost
+
+    # small-image bypass: (1,1) tiles -> global view only
+    assert tiling_plan(320, 320) == (1, 1)
+    assert vision_token_cost(320, 320) == 273
+    # a 2:1 landscape tiles (2,1): 273 + (10*2+1)*(10*1) = 483
+    nw, nh = tiling_plan(1280, 640)
+    assert (nw, nh) == (2, 1)
+    assert vision_token_cost(1280, 640) == 273 + (10 * 2 + 1) * 10
+    # cost is monotone in tile count
+    assert vision_token_cost(1920, 1280) > vision_token_cost(1280, 640)
