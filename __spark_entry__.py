@@ -719,6 +719,15 @@ def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_gate(_docs(spark, sf_dir))
 
 
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: documents ordered by id greedily packed into
+    ≤10k-token shards via the distributed prefix sum; the oracle is the
+    global cumulative-sum window it must equal exactly."""
+    from ocr_project_spark.textops import shard_by_token_budget
+
+    return shard_by_token_budget(_docs(spark, sf_dir), budget=10_000)
+
+
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import fingerprints
 
@@ -789,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
         "gopher_gate": q_gopher_gate,
+        "token_shards": q_token_shards,
         "text_fingerprints": q_text_fingerprints,
         "corpus_stats": q_corpus_stats,
         "corpus_percentiles": q_corpus_percentiles,
@@ -1272,6 +1282,18 @@ def oracle_sql() -> dict[str, str]:
               AND avg_word_len_x100 BETWEEN 200 AND 1000
               AND alpha_word_ratio_x100 >= 80
               AND stopword_hits >= 2
+        """,
+        "token_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) // 10000 AS BIGINT) AS shard
+            FROM t
         """,
         "text_fingerprints": """
             SELECT doc_id, md5(text) AS md5_fingerprint,

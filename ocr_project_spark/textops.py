@@ -159,6 +159,69 @@ def corpus_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shard_by_token_budget(
+    docs: DataFrame,
+    budget: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard assignment: documents ordered by id are
+    packed greedily into shards of ≤ ``budget`` whitespace tokens (shard =
+    running-token-count-before-this-doc // budget) — how a corpus release
+    cuts ~fixed-token-size training files.
+
+    Scalable prefix sum, not a global window: ids are bucketed into
+    ``defaultParallelism`` contiguous ranges by pure arithmetic on the id
+    span (deterministic — no range-sampling), per-bucket token totals are a
+    bounded driver combine (one row per bucket), and a bucket-local
+    cumulative window shifted by the bucket's offset yields exactly the
+    global ``sum() OVER (ORDER BY id)`` the DuckDB oracle replays. No stage
+    ever holds more than one bucket's rows plus the tiny offset map. (With
+    a pathologically skewed id distribution, swap the arithmetic buckets
+    for quantile boundaries — the offset mechanics are identical.)"""
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    span = docs.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    lo, hi = span["lo"], span["hi"]
+    width = max((hi - lo + 1), 1)
+    bucket = F.floor((F.col("doc_id") - F.lit(lo)) * n_parts / F.lit(width))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens")
+    ).withColumn("__part", bucket.cast("int"))
+    # bounded: one row per bucket crosses to the driver
+    totals = {
+        r["__part"]: r["total"]
+        for r in base.groupBy("__part").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for part in sorted(totals):
+        offsets[part] = acc
+        acc += totals[part]
+    offset_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("__part") == p, F.lit(off))
+                for p, off in sorted(offsets.items())
+            ],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("__part").orderBy("doc_id")
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_col
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_before / budget).cast("long").alias("shard"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 4) -> DataFrame:
     """Document fingerprints: full-text md5 plus a shingle fingerprint —
     the lexicographic minimum of the md5s of all word ``shingle``-grams

@@ -136,3 +136,24 @@ def test_gopher_gate_rules(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r["doc_id"] for r in gopher_gate(df).collect()}
     assert kept == {0}
+
+
+def test_shard_by_token_budget_matches_global_cumsum(spark, documents):
+    """The distributed prefix-sum sharding equals the naive global
+    cumulative sum, every shard stays within budget (single-doc overflows
+    aside), and shard ids are contiguous from 0."""
+    from ocr_project_spark.textops import shard_by_token_budget
+
+    budget = 2000
+    out = sorted(
+        (r["doc_id"], r["n_tokens"], r["shard"])
+        for r in shard_by_token_budget(documents, budget=budget).collect()
+    )
+    cum = 0
+    shards = {}
+    for doc_id, n_tokens, shard in out:
+        assert shard == cum // budget
+        cum += n_tokens
+        shards.setdefault(shard, 0)
+        shards[shard] += n_tokens
+    assert sorted(shards) == list(range(len(shards)))
