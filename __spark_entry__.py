@@ -272,7 +272,8 @@ def q_unified_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_prompt_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-request prompt passthrough on the html arm (reference
     process/config.py:27-37 templates): a mixed corpus cycling the grounding
-    template, 'Free OCR.', and an unknown prompt (→ documented default).
+    template, 'Free OCR.', and 'Parse the figure.' (any explicit prompt
+    without the grounding token yields ungrounded output → free mode).
     Free-mode markdown degrades to the sentinel on the image path and to
     plain paragraph pages on the pdf path; text identity holds throughout."""
     pages = _pages(spark, sf_dir).where("doc_id % 2 = 0")
@@ -903,16 +904,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE {_WELL_FORMED} AND doc_id % 2 = 0
             )
             SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 1 THEN
-                       -- 'Free OCR.' prompt: no markers; the P2 projection
-                       -- degrades to the sentinel on the image path
+                   CASE WHEN doc_id % 3 = 0 THEN
+                       -- grounding template → marker surfaces
+                       CASE WHEN n_pages = 1 THEN {_MD_PARA_JOIN}
+                            ELSE {_MD_HTML_PDF} END
+                   ELSE
+                       -- 'Free OCR.' and any other non-grounding prompt:
+                       -- no markers; the P2 projection degrades to the
+                       -- sentinel on the image path
                        CASE WHEN n_pages = 1
                             THEN 'No text extracted from OCR output'
                             ELSE {_MD_FREE_PDF} END
-                   ELSE
-                       -- grounding template + unknown prompt (→ default)
-                       CASE WHEN n_pages = 1 THEN {_MD_PARA_JOIN}
-                            ELSE {_MD_HTML_PDF} END
                    END AS markdown,
                    text
             FROM d

@@ -89,12 +89,15 @@ VALID_MODES = (MODE_GROUNDING, MODE_FREE, MODE_LOCATE)
 
 # Per-request prompt passthrough (reference: the request schema carries a
 # free-form prompt string handed to the DeepSeek arm; the known templates
-# live in process/config.py:27-37). The batch analog maps known prompts to
-# modes; an unknown prompt falls back to the documented default template
-# (config.py:27 active PROMPT = grounding), mirroring how the reference
-# treats config.py's PROMPT as the default when a request sends none.
-# The '<image>\n' prefix is the vision-token placeholder, not instruction
-# text — prompts are matched with and without it.
+# live in process/config.py:27-37). Mode resolution mirrors what the model
+# observably does with a prompt: det markers appear only when the prompt
+# carries the '<|grounding|>' token, the 'rec' template locates a span, and
+# ANY other explicit prompt ('Free OCR.', 'Parse the figure.', 'Describe
+# this image in detail.', …) yields ungrounded plain output → free mode.
+# A missing prompt falls back to the documented default template
+# (config.py:27 active PROMPT = grounding). The '<image>\n' prefix is the
+# vision-token placeholder, not instruction text — prompts are matched
+# with and without it.
 PROMPT_IMAGE_TOKEN = "<image>\n"
 PROMPT_GROUNDING_MARKER = "<|grounding|>"  # config.py:27,30-31
 PROMPT_FREE = "Free OCR."  # config.py:28,32
@@ -107,15 +110,13 @@ _LOCATE_PATTERN = re.compile(
 def resolve_mode(prompt: str | None) -> str:
     """Map a per-request prompt string onto an extraction mode."""
     if not prompt:
-        return MODE_GROUNDING
+        return MODE_GROUNDING  # no prompt → documented default template
     p = prompt.removeprefix(PROMPT_IMAGE_TOKEN)
-    if p == PROMPT_FREE:
-        return MODE_FREE
     if _LOCATE_PATTERN.match(p):
         return MODE_LOCATE
     if PROMPT_GROUNDING_MARKER in p:
         return MODE_GROUNDING
-    return MODE_GROUNDING  # unknown prompt → documented default template
+    return MODE_FREE  # explicit non-grounding prompt → ungrounded output
 
 
 def locate_target(prompt: str | None) -> str | None:

@@ -165,7 +165,8 @@ def test_invalid_mode_rejected(spark):
 
 def test_prompt_column_maps_to_modes(spark):
     """Per-request prompt passthrough (reference process/config.py:27-37):
-    grounding template → markers, 'Free OCR.' → free, unknown → default."""
+    grounding template → markers, any non-grounding prompt → free, missing
+    prompt → default template."""
     payload = build_html(0, "alpha beta", "en").encode()
     rows = [
         ("g", payload, BACKEND_HTML, 0,
@@ -180,8 +181,10 @@ def test_prompt_column_maps_to_modes(spark):
     out = {r["url"]: r for r in extract_documents(df).collect()}
     assert out["g"]["raw_output"].startswith("<|ref|>")
     assert out["f"]["raw_output"] == "alpha beta" and out["f"]["spans"] == []
-    # unknown prompt falls back to the default (grounding) template
-    assert out["u"]["raw_output"] == out["g"]["raw_output"]
+    # an explicit prompt WITHOUT the grounding token yields ungrounded
+    # output (free), matching the model's observable behavior; only a
+    # MISSING prompt falls back to the default (grounding) template
+    assert out["u"]["raw_output"] == out["f"]["raw_output"]
     assert out["n"]["raw_output"] == out["g"]["raw_output"]
 
 
