@@ -377,6 +377,30 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: every url is deterministically messied (a
+    fragment, a tracking-only query, an uppercased host, or an explicit
+    :443 port, cycling on doc_id) and must canonicalize back to exactly
+    the clean url the oracle rebuilds from doc_id arithmetic."""
+    from ocr_project_spark.functions.urls import canonicalize_urls
+
+    pages = _pages(spark, sf_dir)
+    prefix = F.regexp_extract("url", r"^(https://[^/]*)", 1)
+    rest = F.regexp_replace("url", r"^https://[^/]*", "")
+    m = F.col("doc_id") % 4
+    messy = (
+        F.when(m == 0, F.concat(F.col("url"), F.lit("#section-2")))
+        .when(
+            m == 1,
+            F.concat(F.col("url"), F.lit("?utm_source=feed&utm_medium=rss")),
+        )
+        .when(m == 2, F.concat(F.upper(prefix), rest))
+        .otherwise(F.concat(prefix, F.lit(":443"), rest))
+    )
+    out = canonicalize_urls(pages.withColumn("url", messy))
+    return out.select("doc_id", "url")
+
+
 def q_host_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host politeness budget (observed span / mean gap / recommended
     crawl delay) via the salted two-stage host aggregation; warc_ts is
@@ -776,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_counts": q_host_counts,
         "host_stats": q_host_stats,
         "host_politeness": q_host_politeness,
+        "url_canonical": q_url_canonical,
         "latest_capture": q_latest_capture,
         "warc_extract": q_warc_extract,
         "page_selection": q_page_selection,
@@ -1019,6 +1044,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(1735689600 + doc_id) AS BIGINT) AS first_epoch,
                    CAST(max(1735689600 + doc_id) AS BIGINT) AS last_epoch
             FROM documents GROUP BY 1
+        """,
+        "url_canonical": f"""
+            SELECT doc_id,
+                   'https://'
+                   || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                           ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                || '.example.org'
+                      END
+                   || '/' || source || '/doc' || doc_id
+                   || CASE WHEN {_N_PAGES} > 1 THEN '.pdf' ELSE '.html' END
+                       AS url
+            FROM documents
         """,
         "host_politeness": """
             WITH s AS (

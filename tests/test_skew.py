@@ -129,3 +129,27 @@ def test_host_politeness_budget(spark, pages):
         else:
             assert r["avg_gap_ms"] == 0
         assert r["recommended_delay_ms"] == max(1000, r["avg_gap_ms"])
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule: case, fragment, tracking runs, default
+    ports — while preserving meaningful query params and path case."""
+    from ocr_project_spark.functions.urls import canonicalize_urls
+
+    cases = [
+        ("HTTPS://Example.COM/Path/Page.html", "https://example.com/Path/Page.html"),
+        ("https://a.com/p#frag?not-a-query", "https://a.com/p"),
+        ("https://a.com/p?utm_source=x&utm_medium=y&q=1",
+         "https://a.com/p?q=1"),
+        ("https://a.com/p?q=1&utm_campaign=z", "https://a.com/p?q=1"),
+        ("https://a.com/p?fbclid=abc", "https://a.com/p"),
+        ("http://a.com:80/p", "http://a.com/p"),
+        ("https://a.com:443/p?a=1&b=2", "https://a.com/p?a=1&b=2"),
+        ("https://a.com:8443/p", "https://a.com:8443/p"),  # non-default kept
+        ("https://a.com/p?gclid=1&utm_a=2&keep=3#f", "https://a.com/p?keep=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["url"] for r in canonicalize_urls(df).collect()]
+    # collect() preserves the single-partition input order here
+    for (inp, expected), out in zip(cases, got):
+        assert out == expected, f"{inp} -> {out} != {expected}"
