@@ -63,6 +63,102 @@ def extract_stream(
     return writer.start()
 
 
+def dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    results_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming url-dedup: keep the first capture of each url across
+    micro-batches, with state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — a url recrawled within the
+    watermark window is dropped; state for older urls is evicted, so the
+    store never grows past one window of distinct urls). The streaming
+    counterpart of the batch ``latest_capture``/resume pair for pipelines
+    that must dedup before any results table exists."""
+    pages = spark.readStream.schema(STREAM_PAGES_SCHEMA).parquet(input_path)
+    deduped = pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", results_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def host_totals_stream(
+    spark: SparkSession,
+    input_path: str,
+    totals_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-host running crawl totals that survive across micro-batches AND
+    across restarts (state lives in the streaming checkpoint) — the live
+    politeness/budget counter a continuous crawl consults. Each update
+    emits the host's new running (n_urls, n_bytes), appended with its
+    batch_id to ``totals_path`` via foreachBatch (the memory sink cannot
+    recover from a checkpoint; a durable sink can)."""
+    from typing import Any, Iterator as TIterator, Tuple
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = spark.readStream.schema(STREAM_PAGES_SCHEMA).parquet(input_path)
+    keyed = pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.length("html").alias("n_bytes"),
+    )
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: TIterator[pd.DataFrame],
+        state: GroupState,
+    ) -> TIterator[pd.DataFrame]:
+        n = 0
+        b = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["n_bytes"].sum())
+        prev_n, prev_b = state.get if state.exists else (0, 0)
+        state.update((prev_n + n, prev_b + b))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_urls": [prev_n + n], "n_bytes": [prev_b + b]}
+        )
+
+    out = keyed.groupBy("host").applyInPandasWithState(
+        _update,
+        outputStructType="host string, n_urls long, n_bytes long",
+        stateStructType="n_urls long, n_bytes long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(totals_path)
+
+    writer = (
+        out.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def extract_stream_with_lineage(
     spark: SparkSession,
     input_path: str,
