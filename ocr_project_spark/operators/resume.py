@@ -65,6 +65,33 @@ def latest_capture(
     )
 
 
+def write_results_bucketed(
+    results: DataFrame, table: str, buckets: int = 64
+) -> None:
+    """Persist results as a url-bucketed, url-sorted table (the Iceberg
+    bucket-transform analog over the session catalog): every append keeps
+    rows hash-clustered by the resume key, so the next run's anti-join
+    reads the done side already partitioned — no shuffle on the
+    (large) checkpoint side, ever. ``buckets`` should match the shuffle
+    parallelism the pages side will use."""
+    (
+        results.write.mode("append")
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def completed_urls_bucketed(spark: SparkSession, table: str) -> DataFrame | None:
+    """Done-urls view of a bucketed results table (column-pruned to url;
+    the bucketing metadata lets Catalyst skip the done-side exchange in
+    the resume anti-join — asserted in tests/test_plans.py)."""
+    if not spark.catalog.tableExists(table):
+        return None
+    return spark.table(table).select("url")
+
+
 def resume_filter(
     pages: DataFrame, done: DataFrame | None, broadcast_threshold: int | None = None
 ) -> DataFrame:
