@@ -376,6 +376,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from the fused
     hash→sign→band pass, then exact-jaccard verification of candidates only
@@ -385,9 +386,26 @@ def minhash_near_dup_pairs(
     verify side instead of persisting a derived column set — no cached
     blocks leak into long-lived sessions, and at 100 TB recomputing a
     codegen'd transform is cheaper than materializing per-doc string arrays
-    in executor memory."""
+    in executor memory.
+
+    ``max_bucket`` is the degenerate-bucket safety valve for web corpora: a
+    band bucket of b members emits b² candidate pairs, so one bucket
+    holding a million byte-identical boilerplate pages would go quadratic.
+    Buckets larger than the cap are dropped BEFORE the self-join (one extra
+    partial-agg count, broadcast back) — their members are, by pigeonhole,
+    huge exact-duplicate classes that :func:`exact_dup_groups` already
+    collapses for a linear price; run that first. AQE's skew-join split
+    remains the backstop for buckets under the cap."""
     hashed = hashed_shingles(docs, n, text_col)
     banded = minhash_band_rows_from_hashes(hashed, num_hashes, bands)
+    if max_bucket is not None:
+        ok_buckets = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(ok_buckets, ["band_idx", "band_hash"], "left_semi")
     a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
     b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
     cands = (

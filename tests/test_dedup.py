@@ -138,3 +138,24 @@ def test_repeated_ngram_spans(spark):
     assert shared in out
     assert out[shared]["n_docs"] == 2 and out[shared]["n_occurrences"] == 2
     assert all(r["n_docs"] >= 2 for r in out.values())
+
+
+def test_minhash_degenerate_bucket_cap(spark):
+    """The max_bucket safety valve: a large exact-duplicate class (whose b²
+    pair blowup exact-dedup should absorb) is dropped from LSH banding,
+    while ordinary near-dup pairs still surface."""
+    from ocr_project_spark.dedup import minhash_near_dup_pairs
+
+    boiler = " ".join(f"boiler{i}" for i in range(30))
+    rows = [(i, boiler, "en") for i in range(50)]  # 50 identical docs
+    rows += [(100, BASE, "en"), (101, NEAR, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    capped = minhash_near_dup_pairs(df, threshold=0.5, max_bucket=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in pairs  # real near-dup survives the cap
+    assert not any(a < 50 and b < 50 for a, b in pairs)  # boiler class dropped
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in minhash_near_dup_pairs(df, threshold=0.5).collect()}
+    assert sum(1 for a, b in uncapped if a < 50 and b < 50) == 50 * 49 // 2
