@@ -214,6 +214,99 @@ def image_features(media: DataFrame, decode: str = "strict") -> DataFrame:
     )
 
 
+TILE_SCHEMA = (
+    "media_id long, tile_idx int, n_tiles_w int, n_tiles_h int, "
+    "tile_sha256 string"
+)
+TILE_SIZE = 640  # reference process/config.py:8 IMAGE_SIZE
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index mapping — deterministic,
+    no codec/interp library): (h, w, c) → (height, width, c)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def image_tiles(media: DataFrame, decode: str = "strict") -> DataFrame:
+    """The reference's dynamic-tiling preprocessing as a 1→N operator
+    (process/image_process.py:88-111: resize to the chosen tile grid, then
+    crop ``TILE_SIZE``² tiles): decode → tiling plan → nearest-neighbor
+    resize to (640·nw, 640·nh) → one row per tile with its content hash.
+    Real for netpbm payloads; ``fake`` derives per-tile digests without
+    pixels (the full-scale plumbing drill). Explode shape mirrors
+    doc→pages (D1)."""
+    from ocr_project_spark.functions.markers import tiling_plan
+
+    if decode not in ("strict", "fake"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if decode == "fake":
+                    w, h = _fake_decode_dims(data)
+                    tw, th = tiling_plan(w, h)
+                    for idx in range(tw * th):
+                        rows.append(
+                            {
+                                "media_id": int(media_id),
+                                "tile_idx": idx,
+                                "n_tiles_w": tw,
+                                "n_tiles_h": th,
+                                "tile_sha256": hashlib.sha256(
+                                    data + b"#tile-%d" % idx
+                                ).hexdigest(),
+                            }
+                        )
+                    continue
+                if data[:2] not in (PPM_MAGIC, PGM_MAGIC):
+                    raise NotImplementedError(
+                        "this payload format requires a codec library; "
+                        "binary netpbm (P5/P6) decodes natively, or use "
+                        "decode='fake'"
+                    )
+                img = decode_netpbm(data)
+                h, w = img.shape[:2]
+                tw, th = tiling_plan(w, h)
+                resized = resize_nearest(img, TILE_SIZE * tw, TILE_SIZE * th)
+                for idx in range(tw * th):
+                    r, c = divmod(idx, tw)
+                    tile = resized[
+                        r * TILE_SIZE : (r + 1) * TILE_SIZE,
+                        c * TILE_SIZE : (c + 1) * TILE_SIZE,
+                    ]
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "tile_idx": idx,
+                            "n_tiles_w": tw,
+                            "n_tiles_h": th,
+                            "tile_sha256": hashlib.sha256(
+                                np.ascontiguousarray(tile).tobytes()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "tile_idx",
+                    "n_tiles_w",
+                    "n_tiles_h",
+                    "tile_sha256",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=TILE_SCHEMA
+    )
+
+
 AUDIO_FEATURE_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, duration_ms long, "
     "rms_x1000 long, zero_crossings long"

@@ -198,3 +198,49 @@ def test_audio_features_fake_deterministic(spark, media):
     a = audio_features(media, decode="fake").collect()
     b = audio_features(media, decode="fake").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_resize_nearest_properties():
+    import numpy as np
+
+    from ocr_project_spark.multimodal import resize_nearest
+
+    img = (np.arange(6 * 4 * 3).reshape(6, 4, 3) % 256).astype("uint8")
+    up = resize_nearest(img, 8, 12)
+    assert up.shape == (12, 8, 3)
+    # identity resize is exact; corners map to corners
+    assert np.array_equal(resize_nearest(img, 4, 6), img)
+    assert np.array_equal(up[0, 0], img[0, 0])
+
+
+def test_image_tiles_real_decode(spark):
+    """Real tiling path: tile count equals the plan, tiles are 640² crops of
+    the nearest-neighbor resize, deterministic across runs."""
+    from ocr_project_spark.multimodal import image_tiles
+
+    media, dims = _ppm_media(spark)
+    rows = [r.asDict() for r in image_tiles(media, decode="strict").collect()]
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    from ocr_project_spark.functions.markers import tiling_plan
+
+    for media_id, w, h in dims:
+        tiles = by_media[media_id]
+        tw, th = tiling_plan(w, h)
+        assert len(tiles) == tw * th
+        assert {t["tile_idx"] for t in tiles} == set(range(tw * th))
+        assert all((t["n_tiles_w"], t["n_tiles_h"]) == (tw, th) for t in tiles)
+    rows2 = [r.asDict() for r in image_tiles(media, decode="strict").collect()]
+    assert sorted(map(tuple, (r.values() for r in rows))) == sorted(
+        map(tuple, (r.values() for r in rows2))
+    )
+
+
+def test_image_tiles_fake_plumbing(spark, media):
+    from ocr_project_spark.multimodal import image_tiles
+
+    rows = image_tiles(media, decode="fake").collect()
+    assert rows
+    ids = [(r["media_id"], r["tile_idx"]) for r in rows]
+    assert len(ids) == len(set(ids))
