@@ -744,6 +744,16 @@ def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_gate(_docs(spark, sf_dir))
 
 
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash winnowing: the gram count and the minimum
+    gram hash per document (== the minimum of the winnowed set), with the
+    Horner fold replayed bit-for-bit by DuckDB's list_reduce."""
+    from ocr_project_spark.textops import rolling_fingerprints
+
+    out = rolling_fingerprints(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_grams", "min_hash")
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard packing: documents ordered by id greedily packed into
     ≤10k-token shards via the distributed prefix sum; the oracle is the
@@ -824,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
         "gopher_gate": q_gopher_gate,
+        "rolling_fingerprints": q_rolling_fingerprints,
         "token_shards": q_token_shards,
         "text_fingerprints": q_text_fingerprints,
         "corpus_stats": q_corpus_stats,
@@ -1321,6 +1332,25 @@ def oracle_sql() -> dict[str, str]:
               AND avg_word_len_x100 BETWEEN 200 AND 1000
               AND alpha_word_ratio_x100 >= 80
               AND stopword_hits >= 2
+        """,
+        # the Horner fold (a·B + c) mod P with first-element init is
+        # exactly list_reduce's semantics → bit-for-bit replay
+        "rolling_fingerprints": """
+            WITH c AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(text, ''),
+                           ch -> CAST(unicode(ch) AS BIGINT)) AS codes
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(greatest(len(codes) - 7, 1) AS BIGINT) AS n_grams,
+                   CAST(list_min(list_transform(
+                       generate_series(1, greatest(len(codes) - 7, 1)),
+                       i -> list_reduce(list_slice(codes, i, i + 7),
+                                        (a, ch) -> (a * 257 + ch)
+                                                   % 2147483647)
+                   )) AS BIGINT) AS min_hash
+            FROM c
         """,
         "token_shards": """
             WITH t AS (

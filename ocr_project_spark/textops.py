@@ -242,6 +242,84 @@ def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 4) -> D
     )
 
 
+# Karp-Rabin rolling-hash constants: Horner fold (a·B + c) mod P with the
+# first char as the init value — exactly DuckDB's list_reduce semantics, so
+# the oracle can replay the hash bit-for-bit.
+ROLL_BASE = 257
+ROLL_PRIME = (1 << 31) - 1
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.) over a Karp-Rabin
+    rolling hash: character ``k``-gram hashes → per-``window`` minima →
+    the deduplicated winnowed set. The classic guarantee: two documents
+    sharing any substring of length ≥ k + window - 1 share at least one
+    fingerprint — the substring-level near-dup index a plagiarism/dedup
+    pipeline builds at scale.
+
+    Vectorized numpy inside Arrow batches (sliding-window dot against the
+    power vector, mod-safe in int64; per-window minima via a strided view).
+    Output: (doc_id, n_grams, min_hash, fingerprints array<long>) —
+    ``min_hash`` equals the minimum over ALL gram hashes, which is also the
+    minimum of the winnowed set, and is SQL-replayable via list_reduce's
+    Horner fold (the driver oracle)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pow_vec = np.empty(k, dtype=np.int64)
+    acc = 1
+    for j in range(k - 1, -1, -1):
+        pow_vec[j] = acc
+        acc = (acc * ROLL_BASE) % ROLL_PRIME
+
+    def _grams(codes: "np.ndarray") -> "np.ndarray":
+        if len(codes) < k:
+            # short doc: one gram over the whole text (list_slice clips the
+            # same way oracle-side)
+            h = 0
+            for c in codes:
+                h = (h * ROLL_BASE + int(c)) % ROLL_PRIME
+            return np.array([h], dtype=np.int64)
+        win = sliding_window_view(codes, k).astype(np.int64)
+        return ((win * pow_vec[None, :] % ROLL_PRIME).sum(axis=1)) % ROLL_PRIME
+
+    def _batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                )
+                grams = _grams(codes)
+                if len(grams) <= window:
+                    mins = np.array([grams.min()], dtype=np.int64)
+                else:
+                    mins = sliding_window_view(grams, window).min(axis=1)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_grams": len(grams),
+                        "min_hash": int(grams.min()),
+                        "fingerprints": np.unique(mins),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_grams", "min_hash", "fingerprints"]
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _batches,
+        schema="doc_id long, n_grams long, min_hash long, fingerprints array<long>",
+    )
+
+
 def lang_id(pages: DataFrame, payload_col: str = "html") -> DataFrame:
     """Language identification from boilerplate chrome vocabulary.
 

@@ -157,3 +157,32 @@ def test_shard_by_token_budget_matches_global_cumsum(spark, documents):
         shards.setdefault(shard, 0)
         shards[shard] += n_tokens
     assert sorted(shards) == list(range(len(shards)))
+
+
+def test_rolling_fingerprints_winnowing_guarantee(spark):
+    """Schleimer et al.'s guarantee: documents sharing a substring of
+    length >= k + window - 1 share at least one winnowed fingerprint;
+    unrelated documents (different alphabets) share none. min_hash equals
+    the minimum of the winnowed set."""
+    from ocr_project_spark.textops import rolling_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "prefix words here " + shared + " suffix tail"),
+        (1, shared + " completely different ending text follows now"),
+        (2, "zzz qqq xxx vvv kkk www yyy uuu completely disjoint charset"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rolling_fingerprints(df, k=8, window=16).collect()}
+    fp0, fp1, fp2 = (set(out[i]["fingerprints"]) for i in (0, 1, 2))
+    assert fp0 & fp1  # shared substring -> shared fingerprint
+    assert not (fp0 & fp2)
+    for r in out.values():
+        assert r["min_hash"] == min(r["fingerprints"])
+    # horner fold cross-check against a python reference on a tiny doc
+    tiny = spark.createDataFrame([(9, "abcdefgh")], "doc_id long, text string")
+    row = rolling_fingerprints(tiny, k=8, window=16).collect()[0]
+    h = 0
+    for ch in "abcdefgh":
+        h = (h * 257 + ord(ch)) % ((1 << 31) - 1)
+    assert row["n_grams"] == 1 and row["min_hash"] == h
