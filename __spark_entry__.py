@@ -155,8 +155,6 @@ def _hex_int(col_expr: str, offset: int, nchars: int = 4) -> str:
     )
 
 
-_hex4_int = _hex_int
-
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1270,9 +1268,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
             )
             SELECT media_id,
-                   CAST(320 + ({_hex4_int('hx', 1)}) % 1600 AS BIGINT)
+                   CAST(320 + ({_hex_int('hx', 1)}) % 1600 AS BIGINT)
                        AS width,
-                   CAST(320 + ({_hex4_int('hx', 5)}) % 1600 AS BIGINT)
+                   CAST(320 + ({_hex_int('hx', 5)}) % 1600 AS BIGINT)
                        AS height,
                    hx AS sha256
             FROM h
