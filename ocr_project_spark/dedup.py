@@ -257,6 +257,11 @@ def _band_hash_matrix(sig: np.ndarray, bands: int) -> np.ndarray:
     """(n_docs, num_hashes) signature matrix → (n_docs, bands) int64 band
     hashes, one vectorized multiply-add per band row group."""
     n_docs, num_hashes = sig.shape
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands ({bands}) must be <= num_hashes ({num_hashes}): "
+            "each band needs at least one signature column"
+        )
     r = max(num_hashes // bands, 1)
     usable = sig[:, : bands * r].view(np.uint64).reshape(n_docs, bands, r)
     w = (
@@ -392,10 +397,15 @@ def minhash_near_dup_pairs(
     band bucket of b members emits b² candidate pairs, so one bucket
     holding a million byte-identical boilerplate pages would go quadratic.
     Buckets larger than the cap are dropped BEFORE the self-join (one extra
-    partial-agg count, broadcast back) — their members are, by pigeonhole,
-    huge exact-duplicate classes that :func:`exact_dup_groups` already
-    collapses for a linear price; run that first. AQE's skew-join split
-    remains the backstop for buckets under the cap."""
+    partial-agg count, broadcast back). Over-cap buckets are *usually*
+    dominated by exact-duplicate classes (run :func:`exact_dup_groups`
+    first, which collapses those for a linear price) — but templated
+    near-identical pages can also share a band bucket, so capping CAN lose
+    genuine near-dup pairs. The loss is observable: pass the same arguments
+    to :func:`minhash_oversized_buckets` to inventory exactly which buckets
+    (and how many member rows) the cap excluded, the same
+    count-what-you-drop posture as the WARC parser's ``n_skipped``. AQE's
+    skew-join split remains the backstop for buckets under the cap."""
     hashed = hashed_shingles(docs, n, text_col)
     banded = minhash_band_rows_from_hashes(hashed, num_hashes, bands)
     if max_bucket is not None:
@@ -438,6 +448,28 @@ def minhash_near_dup_pairs(
         )
     )
     return verified.where(F.col("jaccard") >= threshold)
+
+
+def minhash_oversized_buckets(
+    docs: DataFrame,
+    max_bucket: int,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Inventory of the band buckets :func:`minhash_near_dup_pairs` drops
+    under the same ``max_bucket`` cap: one row per over-cap (band_idx,
+    band_hash) with its member count. What a production run logs next to
+    its pair output so capped recall loss is observable, never silent —
+    a partial-agg count, one row per degenerate bucket."""
+    hashed = hashed_shingles(docs, n, text_col)
+    banded = minhash_band_rows_from_hashes(hashed, num_hashes, bands)
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+    )
 
 
 def simhash_signatures(

@@ -10,7 +10,7 @@ is narrow and the lineage aggregation is a partial-agg-friendly groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_project_spark.operators.extract import extract_documents
 from ocr_project_spark.operators.lineage import lineage_rows
@@ -63,6 +63,19 @@ def run_job(
     todo = resume_filter(pages, done)
     results = run_extraction(
         todo, num_partitions=num_partitions, model_loaded=model_loaded
+    )
+    # Model-not-loaded is an *infrastructure* condition (breaker open /
+    # backend down), not a property of the document — checkpointing such a
+    # row would permanently exclude the url from re-extraction because
+    # completed_urls marks every written url done. Skipped rows are simply
+    # not appended, so the next run with a healthy backend retries exactly
+    # those urls and the result set converges (tests/test_pipeline.py run-#3
+    # recovery test). Document-level failures (malformed payload, invalid
+    # backend/mode) ARE results and stay checkpointed.
+    from ocr_project_spark.contract import ERR_MODEL_NOT_LOADED
+
+    results = results.where(
+        F.col("error").isNull() | (F.col("error") != F.lit(ERR_MODEL_NOT_LOADED))
     )
     writer = results.write.mode("append")
     if max_records_per_file:

@@ -42,22 +42,48 @@ GZIP_MAGIC = b"\x1f\x8b"
 PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
 
 
-def gunzip_members(data: bytes) -> bytes:
+def gunzip_members_with_stats(data: bytes) -> tuple[bytes, int]:
     """Decompress a run of concatenated gzip members (the `.warc.gz` layout:
-    one member per record; a whole-file gzip is the single-member case).
-    Stops at the first byte run that is not a gzip member, so trailing
-    garbage truncates instead of raising."""
+    one member per record; a whole-file gzip is the single-member case) into
+    (decompressed bytes, n_bad_members).
+
+    A corrupt mid-file member does not silently truncate the rest of the
+    segment: the walk resyncs to the next gzip magic and counts the loss —
+    the same resync-and-count posture the WARC framing walk applies to a
+    malformed Content-Length. A truncated *final* member keeps whatever
+    decompressed (counted as bad only if nothing usable came out of it).
+
+    Note on memory: the whole segment decompresses in one executor task, so
+    the implied memory floor is the *uncompressed* segment size (~1 GB for
+    standard Common Crawl segments, ×~3-4 over the wire size) — size
+    ``spark.sql.files.maxPartitionBytes`` / executor memory accordingly.
+    """
     out = []
+    n_bad = 0
     while data.startswith(GZIP_MAGIC):
         d = zlib.decompressobj(wbits=31)  # gzip container
         try:
-            out.append(d.decompress(data))
+            chunk = d.decompress(data)
         except zlib.error:
-            break
+            # corrupt member: resync to the next gzip magic past this header
+            n_bad += 1
+            nxt = data.find(GZIP_MAGIC, len(GZIP_MAGIC))
+            if nxt < 0:
+                break
+            data = data[nxt:]
+            continue
+        out.append(chunk)
         if not d.eof:  # truncated final member: keep what decompressed
+            if not chunk:
+                n_bad += 1
             break
         data = d.unused_data
-    return b"".join(out)
+    return b"".join(out), n_bad
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Bytes-only view of :func:`gunzip_members_with_stats`."""
+    return gunzip_members_with_stats(data)[0]
 
 
 def _parse_headers(block: bytes) -> dict[bytes, bytes]:
@@ -78,12 +104,14 @@ def parse_warc_records_with_stats(
     records via Content-Length (robust against payloads containing blank
     lines). A record with a malformed/missing Content-Length is skipped by
     resyncing to the next ``\\r\\nWARC/`` boundary — later records survive —
-    and counted in ``n_skipped``; a truncated tail stops the walk.
+    and counted in ``n_skipped``; a truncated tail stops the walk. Corrupt
+    gzip members likewise resync to the next member and count into
+    ``n_skipped`` (one count per failed decompress attempt).
     """
-    if data.startswith(GZIP_MAGIC):
-        data = gunzip_members(data)
-    out: list[tuple[str, datetime | None, bytes]] = []
     n_skipped = 0
+    if data.startswith(GZIP_MAGIC):
+        data, n_skipped = gunzip_members_with_stats(data)
+    out: list[tuple[str, datetime | None, bytes]] = []
     pos = 0
     n = len(data)
     while pos < n:

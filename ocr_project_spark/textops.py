@@ -175,18 +175,26 @@ def shard_by_token_budget(
     span (deterministic — no range-sampling), per-bucket token totals are a
     bounded driver combine (one row per bucket), and a bucket-local
     cumulative window shifted by the bucket's offset yields exactly the
-    global ``sum() OVER (ORDER BY id)`` the DuckDB oracle replays. No stage
-    ever holds more than one bucket's rows plus the tiny offset map. (With
-    a pathologically skewed id distribution, swap the arithmetic buckets
+    global ``sum() OVER (ORDER BY id)`` the DuckDB oracle replays. The
+    offsets rejoin as a broadcast map join — never an O(n_buckets)
+    ``when``-chain, whose Catalyst expression-tree depth would become the
+    limit at thousands of buckets on a real cluster. No stage ever holds
+    more than one bucket's rows plus the tiny offset table. (With a
+    pathologically skewed id distribution, swap the arithmetic buckets
     for quantile boundaries — the offset mechanics are identical.)"""
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
-    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
     span = docs.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
     lo, hi = span["lo"], span["hi"]
+    if lo is None:  # empty input: empty output, same schema
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, shard long"
+        )
     width = max((hi - lo + 1), 1)
     bucket = F.floor((F.col("doc_id") - F.lit(lo)) * n_parts / F.lit(width))
     base = docs.select(
@@ -197,28 +205,25 @@ def shard_by_token_budget(
         r["__part"]: r["total"]
         for r in base.groupBy("__part").agg(F.sum("n_tokens").alias("total")).collect()
     }
-    offsets = {}
+    offsets = []
     acc = 0
     for part in sorted(totals):
-        offsets[part] = acc
+        offsets.append((part, acc))
         acc += totals[part]
-    offset_col = (
-        F.coalesce(
-            *[
-                F.when(F.col("__part") == p, F.lit(off))
-                for p, off in sorted(offsets.items())
-            ],
-            F.lit(0),
-        )
-        if offsets
-        else F.lit(0)
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets, "__part int, __offset long")
     )
     w = Window.partitionBy("__part").orderBy("doc_id")
-    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens") + offset_col
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(cum_before / budget).cast("long").alias("shard"),
+    cum_before = (
+        F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("__offset")
+    )
+    return (
+        base.join(offset_df, "__part")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before / budget).cast("long").alias("shard"),
+        )
     )
 
 

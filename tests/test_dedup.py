@@ -159,3 +159,27 @@ def test_minhash_degenerate_bucket_cap(spark):
     uncapped = {(r["id_a"], r["id_b"])
                 for r in minhash_near_dup_pairs(df, threshold=0.5).collect()}
     assert sum(1 for a, b in uncapped if a < 50 and b < 50) == 50 * 49 // 2
+
+
+def test_minhash_oversized_buckets_observable(spark):
+    """The cap's recall loss is never silent: minhash_oversized_buckets
+    inventories exactly the buckets minhash_near_dup_pairs drops."""
+    from ocr_project_spark.dedup import minhash_oversized_buckets
+
+    boiler = " ".join(f"boiler{i}" for i in range(30))
+    rows = [(i, boiler, "en") for i in range(50)]
+    rows += [(100, BASE, "en"), (101, NEAR, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    dropped = minhash_oversized_buckets(df, max_bucket=10).collect()
+    # 50 identical docs share every band bucket → 16 over-cap buckets of 50
+    assert len(dropped) == 16
+    assert all(r["n_members"] == 50 for r in dropped)
+    assert minhash_oversized_buckets(df, max_bucket=60).collect() == []
+
+
+def test_band_matrix_rejects_more_bands_than_hashes(corpus):
+    from ocr_project_spark.dedup import minhash_near_dup_pairs
+
+    with pytest.raises(Exception, match="bands.*must be <="):
+        minhash_near_dup_pairs(corpus, num_hashes=8, bands=16).collect()

@@ -160,18 +160,23 @@ def test_circuit_breaker_state_machine(spark):
 
 def test_circuit_breaker_short_circuits_poisoned_backend(spark, tmp_path):
     """A backend poisoned in run #1 (every payload malformed) is skipped in
-    run #2: its rows short-circuit to the model-not-loaded shape while the
-    healthy backend keeps extracting."""
-    from ocr_project_spark.contract import ERR_MODEL_NOT_LOADED
-    from ocr_project_spark.datagen import build_html
+    run #2: its docs short-circuit at the breaker and are NOT checkpointed
+    (an infra skip is not a result), while the healthy backend keeps
+    extracting. Run #3 with the backend recovered retries exactly the
+    skipped urls — the result set converges to the full corpus with no
+    duplicate urls (ADVICE r2: breaker skips must not poison resume)."""
+    from ocr_project_spark.datagen import build_html, build_pagedoc
     from ocr_project_spark.pipeline import run_job
 
-    def corpus(id_lo, id_hi):
+    def corpus(id_lo, id_hi, mineru_healthy):
         rows = []
         for i in range(id_lo, id_hi):
             if i % 2 == 0:
                 payload = build_html(i, f"alpha{i} beta{i}", "en").encode()
                 backend = "deepseek-ocr"
+            elif mineru_healthy:
+                payload = build_pagedoc(i, f"alpha{i} beta{i}", "en").encode()
+                backend = "mineru"
             else:
                 payload = b"PAGEDOC1\n{poisoned"  # always fails to parse
                 backend = "mineru"
@@ -182,13 +187,26 @@ def test_circuit_breaker_short_circuits_poisoned_backend(spark, tmp_path):
 
     results_path = str(tmp_path / "results")
     lineage_path = str(tmp_path / "lineage")
-    run_job(spark, corpus(0, 40), results_path, lineage_path)
+    run_job(spark, corpus(0, 40, False), results_path, lineage_path)
 
     run_job(
-        spark, corpus(40, 80), results_path, lineage_path, circuit_breaker=True
+        spark,
+        corpus(40, 80, False),
+        results_path,
+        lineage_path,
+        circuit_breaker=True,
     )
     second = spark.read.parquet(results_path).where("doc_id >= 40")
-    mineru = second.where("backend = 'mineru'").collect()
-    assert mineru and all(r["error"] == ERR_MODEL_NOT_LOADED for r in mineru)
+    # breaker-skipped rows are absent, not written as model-not-loaded
+    assert second.where("backend = 'mineru'").count() == 0
     ok = second.where("backend = 'deepseek-ocr'")
-    assert ok.count() > 0 and ok.where("NOT success").count() == 0
+    assert ok.count() == 20 and ok.where("NOT success").count() == 0
+
+    # run #3: mineru recovered — resume retries exactly the skipped urls
+    run_job(spark, corpus(40, 80, True), results_path, lineage_path)
+    final = spark.read.parquet(results_path).where("doc_id >= 40")
+    assert final.count() == 40  # converged: every url exactly once
+    assert final.select("url").distinct().count() == 40
+    recovered = final.where("backend = 'mineru'")
+    assert recovered.count() == 20
+    assert recovered.where("NOT success").count() == 0

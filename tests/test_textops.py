@@ -186,3 +186,12 @@ def test_rolling_fingerprints_winnowing_guarantee(spark):
     for ch in "abcdefgh":
         h = (h * 257 + ord(ch)) % ((1 << 31) - 1)
     assert row["n_grams"] == 1 and row["min_hash"] == h
+
+
+def test_shard_by_token_budget_empty_input(spark):
+    from ocr_project_spark.textops import shard_by_token_budget
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = shard_by_token_budget(empty, budget=100)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_tokens", "shard"]

@@ -147,3 +147,31 @@ def test_malformed_content_length_resyncs_to_next_record():
     records, n_skipped = parse_warc_records_with_stats(seg)
     assert [u for u, _, _ in records] == [u for u, _, _ in good]
     assert n_skipped == 1
+
+
+def test_corrupt_gzip_member_resyncs_and_counts():
+    """A corrupt mid-file gzip member must not truncate the rest of the
+    segment: the walk resyncs to the next member and counts the loss in
+    n_skipped (same posture as the Content-Length resync)."""
+    import gzip
+
+    from ocr_project_spark.sources.warc import parse_warc_records_with_stats
+
+    docs = _docs(3)
+    members = [
+        gzip.compress(
+            synthesize_warc_segment([d], include_request_records=False),
+            mtime=0,
+        )
+        for d in docs
+    ]
+    # corrupt the middle member's deflate stream (keep the 10-byte header so
+    # the walk enters the member and fails inside it)
+    bad = bytearray(members[1])
+    for i in range(12, min(40, len(bad))):
+        bad[i] ^= 0xFF
+    seg = members[0] + bytes(bad) + members[2]
+    records, n_skipped = parse_warc_records_with_stats(seg)
+    urls = [u for u, _, _ in records]
+    assert docs[0][0] in urls and docs[2][0] in urls
+    assert n_skipped >= 1
