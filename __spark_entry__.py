@@ -145,6 +145,80 @@ WHERE len(list_intersect(a.shingles, b.shingles))
 """
 
 
+# V-structure planted corpus for the cluster queries: for each document,
+# a head-edited variant (low id), a tail-edited variant (+100000), and the
+# original (+200000). head~orig and tail~orig are near-dups; head~tail
+# usually is not — so the component {i, i+100000, i+200000} exists only
+# through transitive closure, which is exactly what the cluster operator
+# must get right and per-pair dropping gets wrong. The leading-space anchor
+# on the tail pattern forces a word-boundary match so Spark's and DuckDB's
+# leftmost-match regexp_replace agree byte-for-byte.
+_VEE_CORPUS = """
+corpus AS (
+    SELECT doc_id,
+           regexp_replace(text, '^[^ ]+ [^ ]+ [^ ]+', 'zzka zzkb zzkc') AS text,
+           lang
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           regexp_replace(text, ' [^ ]+ [^ ]+ [^ ]+$', ' zzqa zzqb zzqc'),
+           lang
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text, lang FROM documents
+)
+"""
+
+# Shared oracle blocks: exact shingle-jaccard pairs over the de slice of
+# whatever `corpus` CTE precedes them, then the symmetric edge list and its
+# recursive transitive closure — DuckDB's WITH RECURSIVE replays the
+# engine's large-star/small-star connected components exactly (UNION
+# deduplicates, so cyclic pair graphs terminate).
+_SH_PAIRS_CLOSURE_DE = """
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           )) AS shingles
+    FROM corpus WHERE lang = 'de'
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))
+              / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) >= 0.8
+),
+edges(src, dst) AS (
+    SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+"""
+
+_MINHASH_KEEP_SQL = f"""
+WITH RECURSIVE {_DEDUP_CORPUS.strip().rstrip()}, {_SH_PAIRS_CLOSURE_DE}
+SELECT c.doc_id FROM corpus c
+WHERE c.lang = 'de'
+  AND c.doc_id NOT IN (SELECT src FROM reach WHERE dst < src)
+"""
+
+_MINHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_VEE_CORPUS.strip().rstrip()}, {_SH_PAIRS_CLOSURE_DE},
+comp AS (
+    SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster_id
+    FROM reach GROUP BY src
+)
+SELECT c.doc_id,
+       CAST(COALESCE(k.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id
+WHERE c.lang = 'de'
+"""
+
+
 def _hex_int(col_expr: str, offset: int, nchars: int = 4) -> str:
     """SQL for parsing ``nchars`` lowercase-hex chars at 1-based ``offset``
     of ``col_expr`` into an int (DuckDB has no hex→int cast)."""
@@ -546,6 +620,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component keep-list over MinHash-LSH near-dup pairs: one
+    min-id representative per duplicate cluster plus every singleton — the
+    corpus a training pipeline keeps. The oracle replays it with exact
+    shingle-jaccard pairs + a recursive-CTE transitive closure, so the
+    engine's large-star/small-star components are checked end-to-end."""
+    from ocr_project_spark.dedup import minhash_dedup_keep
+
+    return minhash_dedup_keep(
+        _dedup_corpus_de(spark, sf_dir), threshold=0.8, num_hashes=128, bands=32
+    )
+
+
+def _vee_corpus_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-structure corpus (see _VEE_CORPUS): head-edit (id), tail-edit
+    (+100000), original (+200000) — clusters exist only transitively."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    head = F.regexp_replace(
+        "text", r"^[^ ]+ [^ ]+ [^ ]+", "zzka zzkb zzkc"
+    )
+    tail = F.regexp_replace(
+        "text", r" [^ ]+ [^ ]+ [^ ]+$", " zzqa zzqb zzqc"
+    )
+    return (
+        docs.select("doc_id", head.alias("text"), "lang")
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                tail.alias("text"),
+                "lang",
+            )
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+            )
+        )
+        .where(F.col("lang") == "de")
+    )
+
+
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels over a V-planted corpus where the component
+    {head-edit, tail-edit, original} only exists through transitive closure
+    (head~orig and tail~orig are near-dups, head~tail is not): every doc
+    labeled with its component's min id, singletons with themselves."""
+    from ocr_project_spark.components import near_dup_clusters
+    from ocr_project_spark.dedup import minhash_near_dup_pairs
+
+    corpus = _vee_corpus_de(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        corpus, threshold=0.8, num_hashes=128, bands=32
+    )
+    return near_dup_clusters(corpus, pairs)
+
+
 def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.similarity import brute_force_topk
 
@@ -688,6 +818,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, differentially checked: payloads are synthesized
+    PNGs (gray/RGB alternating, all five scanline filters cycling) whose
+    dimensions and pixel values are pure integer functions of the doc id,
+    so the oracle predicts width/height/Σpixels with plain SQL while the
+    engine earns them by actually inflating and unfiltering the PNG bytes
+    (multimodal.decode_png). Any decode defect shifts the integer sums."""
+    from ocr_project_spark.multimodal import image_pixel_stats, synthesize_png_media
+
+    media = synthesize_png_media(_docs(spark, sf_dir))
+    return image_pixel_stats(media, decode="strict")
+
+
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-feature plumbing on the deterministic fake path (the real WAV
     decode is pytest-covered — binary WAV payloads are not constructible in
@@ -819,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_brute": q_sim_topk_brute,
         "sim_topk_lsh": q_sim_topk_lsh,
@@ -827,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dedup_keep": q_sim_dedup_keep,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        "media_png": q_media_png,
         "media_audio": q_media_audio,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1147,6 +1293,8 @@ def oracle_sql() -> dict[str, str]:
         # the LSH-verified output equals exact Jaccard at ≥0.8 (candidate
         # recall ≈ 1 - 1e-7 at 128 hashes / 32 bands)
         "dedup_minhash": _JACCARD_DE_SQL,
+        "dedup_minhash_keep": _MINHASH_KEEP_SQL,
+        "dedup_minhash_clusters": _MINHASH_CLUSTERS_SQL,
         # planted-copy projection: identical text ⇒ identical simhash ⇒
         # pair guaranteed at hamming 0 (see q_dedup_simhash docstring)
         "dedup_simhash": """
@@ -1241,6 +1389,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # fake audio features: every number derives from sha256 digest
         # byte ranges, replayed here from the hex nibbles
+        # media_png: the engine inflates + unfilters real PNG bytes; the
+        # oracle predicts the decode output from the planted-pixel formula
+        # (see multimodal.synthesize_png_media). Static series bounds match
+        # the synthesis ranges (w ≤ 63, h ≤ 47).
+        "media_png": """
+            WITH ids AS (
+                SELECT doc_id AS media_id,
+                       16 + doc_id % 48 AS w,
+                       12 + (doc_id // 7) % 36 AS h
+                FROM documents
+            ),
+            xs AS (SELECT g AS x FROM generate_series(0, 63) t(g)),
+            ys AS (SELECT g AS y FROM generate_series(0, 47) t(g)),
+            sums AS (
+                SELECT i.media_id,
+                       SUM((i.media_id + x + 2 * y) % 256) AS s1,
+                       SUM((i.media_id + x + 2 * y) % 256
+                           + (i.media_id + x + 2 * y + 85) % 256
+                           + (i.media_id + x + 2 * y + 170) % 256) AS s3
+                FROM ids i, xs, ys
+                WHERE xs.x < i.w AND ys.y < i.h
+                GROUP BY i.media_id
+            )
+            SELECT i.media_id,
+                   CAST(i.w AS BIGINT) AS width,
+                   CAST(i.h AS BIGINT) AS height,
+                   CAST(CASE WHEN i.media_id % 2 = 0 THEN 3 * s.s1 ELSE s.s3 END
+                        AS BIGINT) AS pixel_sum,
+                   FALSE AS corrupt
+            FROM ids i JOIN sums s USING (media_id)
+        """,
         "media_audio": f"""
             WITH h AS (
                 SELECT doc_id AS media_id, sha256(text) AS hx FROM documents

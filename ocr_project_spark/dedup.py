@@ -450,6 +450,41 @@ def minhash_near_dup_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def minhash_dedup_keep(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-family dedup materializer: collapse the verified near-dup
+    pairs into connected components (components.connected_components) and
+    keep the min-id representative of each plus every singleton — the
+    corpus a training pipeline actually trains on. Transitive closure
+    matters: pair lists under-delete chains (A~B, B~C must drop both B and
+    C even if the A,C pair never crossed the LSH threshold)."""
+    from ocr_project_spark.components import near_dup_keep
+
+    pairs = minhash_near_dup_pairs(
+        docs, threshold, n, num_hashes, bands, text_col, max_bucket
+    )
+    return near_dup_keep(docs, pairs.select("id_a", "id_b"))
+
+
+def simhash_dedup_keep(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """SimHash-family dedup materializer: connected components over the
+    hamming-verified pair list → min-id keep-list (see
+    :func:`minhash_dedup_keep` for why closure beats per-pair dropping)."""
+    from ocr_project_spark.components import near_dup_keep
+
+    pairs = simhash_near_dup_pairs(docs, max_hamming, text_col)
+    return near_dup_keep(docs, pairs.select("id_a", "id_b"))
+
+
 def minhash_oversized_buckets(
     docs: DataFrame,
     max_bucket: int,

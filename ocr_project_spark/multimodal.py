@@ -106,6 +106,185 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode for 8-bit gray / gray+alpha / RGB / RGBA / palette,
+    non-interlaced — stdlib ``zlib`` inflate + per-scanline unfiltering
+    (all five PNG filter types), no codec library needed. PNG is what a
+    real crawl corpus actually contains, so strict mode must not bail on
+    it. Returns (h, w, 3) uint8 (alpha dropped, palette expanded, gray
+    replicated — same contract as :func:`decode_netpbm`).
+
+    Unfiltering is vectorized where the filter allows (None/Up fully; Sub
+    is a per-channel modular prefix sum); Average/Paeth carry a true
+    per-pixel recurrence, walked per scanline. Raises ValueError on
+    non-PNG, 16-bit, or interlaced payloads."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if bit_depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    data = arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        f = filters[y]
+        row = data[y]
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-bpp] → prefix sum
+            rec = row.reshape(w, bpp).cumsum(axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + ((left + prior[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = rec
+        prior = rec
+    img = recon.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[img[:, :, 0]]
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if color_type == 6:
+        return img[:, :, :3]
+    return img
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int = 0, gray: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes with every scanline using
+    ``filter_type`` (0-4) — the test-fixture inverse of :func:`decode_png`,
+    parameterized so fixtures exercise each unfilter path. ``gray=True``
+    writes color type 0 from the first channel."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    px = img[:, :, :1] if gray else img
+    channels = px.shape[2]
+    bpp = channels
+    flat = px.astype(np.int64).reshape(h, w * channels)
+    lines = []
+    prior = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = (row - left) % 256
+        elif filter_type == 2:
+            filt = (row - prior) % 256
+        elif filter_type == 3:
+            filt = (row - ((left + prior) >> 1)) % 256
+        elif filter_type == 4:
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = (row - pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    color_type = 0 if gray else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Strict-mode image decode dispatch: binary netpbm or PNG → (h, w, 3)
+    uint8. Raises NotImplementedError for codec-requiring formats (JPEG et
+    al.) — the shared gate for image_features/image_tiles/image_pixel_stats."""
+    if payload[:2] in (PPM_MAGIC, PGM_MAGIC):
+        return decode_netpbm(payload)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "this payload format requires a codec library on the executors "
+        "(none in this environment); binary netpbm (P5/P6) and 8-bit "
+        "non-interlaced PNG decode natively, or use decode='fake' for "
+        "the deterministic stand-in"
+    )
+
+
 GRID = 4  # real features: GRID×GRID luminance-mean grid → FEATURE_DIM
 
 
@@ -170,18 +349,11 @@ def image_features(media: DataFrame, decode: str = "strict") -> DataFrame:
                 if decode == "fake":
                     w, h = _fake_decode_dims(data)
                     feature = _fake_feature(data)
-                elif data[:2] in (PPM_MAGIC, PGM_MAGIC):
-                    # REAL decode path: binary netpbm needs no codec library
-                    img = decode_netpbm(data)
+                else:
+                    # REAL decode path: netpbm and PNG need no codec library
+                    img = decode_image(data)
                     h, w = img.shape[:2]
                     feature = _real_feature(img)
-                else:
-                    raise NotImplementedError(
-                        "this payload format requires a codec library on "
-                        "the executors (none in this environment); binary "
-                        "netpbm (P5/P6) decodes natively, or use "
-                        "decode='fake' for the deterministic stand-in"
-                    )
                 tw, th = tiling_plan(w, h)
                 rows.append(
                     {
@@ -264,13 +436,7 @@ def image_tiles(media: DataFrame, decode: str = "strict") -> DataFrame:
                             }
                         )
                     continue
-                if data[:2] not in (PPM_MAGIC, PGM_MAGIC):
-                    raise NotImplementedError(
-                        "this payload format requires a codec library; "
-                        "binary netpbm (P5/P6) decodes natively, or use "
-                        "decode='fake'"
-                    )
-                img = decode_netpbm(data)
+                img = decode_image(data)
                 h, w = img.shape[:2]
                 tw, th = tiling_plan(w, h)
                 resized = resize_nearest(img, TILE_SIZE * tw, TILE_SIZE * th)
@@ -304,6 +470,68 @@ def image_tiles(media: DataFrame, decode: str = "strict") -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _batches, schema=TILE_SCHEMA
+    )
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id long, width long, height long, pixel_sum long, corrupt boolean"
+)
+
+
+def image_pixel_stats(media: DataFrame, decode: str = "strict") -> DataFrame:
+    """binary image column → exact (width, height, Σ all RGB sample values)
+    — the brightness/blank-image/corruption gate an image training corpus
+    filters on before feature extraction, and the operator whose integer
+    outputs make the real PNG/netpbm decode differentially checkable (the
+    driver's ``media_png`` query synthesizes PNGs whose pixels are a pure
+    SQL-expressible function of the id, so an oracle replays the decode
+    end-to-end: inflate + unfilter + palette/gray expansion must be
+    byte-perfect for the sums to agree). Undecodable payloads yield a
+    ``corrupt`` row instead of failing the batch — at 100 TB a corrupt
+    image is data, not an exception."""
+    if decode not in ("strict", "fake"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    if decode == "fake":
+                        w, h = _fake_decode_dims(data)
+                        digest = hashlib.sha256(data).digest()
+                        sum_px = int.from_bytes(digest[4:10], "big")
+                    else:
+                        img = decode_image(data)
+                        h, w = img.shape[:2]
+                        sum_px = int(img.astype(np.int64).sum())
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": sum_px,
+                            "corrupt": False,
+                        }
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "width": 0,
+                            "height": 0,
+                            "pixel_sum": 0,
+                            "corrupt": True,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "pixel_sum", "corrupt"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=PIXEL_STATS_SCHEMA
     )
 
 
@@ -464,6 +692,41 @@ def sample_frames(
     return media.select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     ).mapInPandas(_batches, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG fixture payloads from an id column: dimensions,
+    color type, filter type, and every pixel value are pure integer
+    functions of the id (w = 16 + id%48, h = 12 + (id//7)%36, gray for even
+    ids / RGB for odd, scanline filter id%5, pixel(x,y,c) =
+    (id + x + 2y + 85c) mod 256) — so a SQL oracle can predict the decoded
+    width/height/pixel_sum without parsing PNG, and the strict decode path
+    (inflate + all five unfilters + gray/RGB expansion) is differentially
+    checked end-to-end. Arrow-batched 1→1; payload bytes never leave the
+    executor."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                w = 16 + i % 48
+                h = 12 + (i // 7) % 36
+                base = i + np.arange(w)[None, :] + 2 * np.arange(h)[:, None]
+                if i % 2 == 0:
+                    img = (base % 256).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+                    payload = encode_png(img, filter_type=i % 5, gray=True)
+                else:
+                    img = (
+                        (base[:, :, None] + 85 * np.arange(3)[None, None, :]) % 256
+                    ).astype(np.uint8)
+                    payload = encode_png(img, filter_type=i % 5)
+                rows.append({"media_id": i, "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(
+        _batches, schema="media_id long, payload binary"
+    )
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:

@@ -244,3 +244,180 @@ def test_image_tiles_fake_plumbing(spark, media):
     assert rows
     ids = [(r["media_id"], r["tile_idx"]) for r in rows]
     assert len(ids) == len(set(ids))
+
+
+# --- real PNG decode (stdlib zlib + unfiltering, no codec lib) --------------
+
+
+def _gradient_rgb(h, w, seed=7):
+    import numpy as np
+
+    base = seed + np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5
+    return (
+        (base[:, :, None] + 85 * np.arange(3)[None, None, :]) % 256
+    ).astype(np.uint8)
+
+
+def test_png_roundtrip_all_filter_types():
+    """encode_png(filter f) → decode_png must reproduce the exact pixels
+    for every PNG scanline filter (None/Sub/Up/Average/Paeth)."""
+    import numpy as np
+
+    from ocr_project_spark.multimodal import decode_png, encode_png
+
+    img = _gradient_rgb(23, 31)
+    for f in range(5):
+        out = decode_png(encode_png(img, filter_type=f))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), f"filter {f} mismatch"
+
+
+def test_png_gray_matches_netpbm_decode():
+    """The netpbm and PNG strict paths must agree pixel-for-pixel on the
+    same image (round-trip cross-check per the round-2 verdict)."""
+    import numpy as np
+
+    from ocr_project_spark.multimodal import (
+        decode_netpbm,
+        decode_png,
+        encode_png,
+        encode_ppm,
+    )
+
+    img = _gradient_rgb(17, 29)
+    via_ppm = decode_netpbm(encode_ppm(img))
+    for f in range(5):
+        via_png = decode_png(encode_png(img, filter_type=f))
+        assert np.array_equal(via_png, via_ppm)
+    # gray color type: single channel replicated like P5
+    gray = img[:, :, :1].repeat(3, axis=2)
+    assert np.array_equal(decode_png(encode_png(gray, gray=True, filter_type=4)), gray)
+
+
+def test_png_rgba_and_palette_color_types():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ocr_project_spark.multimodal import PNG_MAGIC, decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    # RGBA: alpha must be dropped
+    h, w = 5, 4
+    rgba = (np.arange(h * w * 4, dtype=np.int64) * 37 % 256).astype(np.uint8)
+    rgba = rgba.reshape(h, w, 4)
+    scan = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), rgba[:, :, :3])
+
+    # palette: indices expand through PLTE
+    pal = (np.arange(256 * 3, dtype=np.int64) * 11 % 256).astype(np.uint8)
+    idx = (np.arange(h * w, dtype=np.int64) * 13 % 256).astype(np.uint8).reshape(h, w)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pal.reshape(256, 3)[idx])
+
+
+def test_image_features_strict_on_png(spark):
+    """A PNG payload must ride the REAL strict path now (round-2 verdict:
+    a real crawl corpus is mostly PNG/JPEG), agreeing with the netpbm
+    decode of the same pixels."""
+    from ocr_project_spark.multimodal import encode_png, encode_ppm, image_features
+
+    img = _gradient_rgb(700, 900)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img, filter_type=2))),
+         (2, bytearray(encode_ppm(img)))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_features(media, decode="strict").collect()}
+    assert rows[1]["width"] == 900 and rows[1]["height"] == 700
+    assert rows[1]["feature"] == rows[2]["feature"]
+    assert rows[1]["n_tokens"] == rows[2]["n_tokens"]
+
+
+def test_image_tiles_strict_on_png(spark):
+    from ocr_project_spark.multimodal import encode_png, encode_ppm, image_tiles
+
+    img = _gradient_rgb(650, 1300)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img, filter_type=1))),
+         (2, bytearray(encode_ppm(img)))],
+        "media_id long, payload binary",
+    )
+    tiles = image_tiles(media, decode="strict").collect()
+    by_media = {}
+    for r in tiles:
+        by_media.setdefault(r["media_id"], {})[r["tile_idx"]] = r["tile_sha256"]
+    # identical pixels → identical tile hashes through either container
+    assert by_media[1] == by_media[2] and len(by_media[1]) >= 2
+
+
+def test_image_pixel_stats_strict_and_corrupt(spark):
+    import numpy as np
+
+    from ocr_project_spark.multimodal import encode_png, image_pixel_stats
+
+    img = _gradient_rgb(9, 11)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img, filter_type=3))),
+         (2, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
+         (3, bytearray(b"\x89PNG\r\n\x1a\n truncated"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_pixel_stats(media, decode="strict").collect()}
+    assert rows[1]["width"] == 11 and rows[1]["height"] == 9
+    assert rows[1]["pixel_sum"] == int(img.astype(np.int64).sum())
+    assert not rows[1]["corrupt"]
+    assert rows[2]["corrupt"] and rows[3]["corrupt"]
+
+
+def test_synthesize_png_media_sql_contract(spark):
+    """The planted-PNG contract the driver oracle replays: width, height
+    and pixel_sum are the documented pure functions of the id."""
+    import numpy as np
+
+    from ocr_project_spark.multimodal import image_pixel_stats, synthesize_png_media
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 40, 3)], "doc_id long")
+    out = {
+        r["media_id"]: r
+        for r in image_pixel_stats(
+            synthesize_png_media(ids), decode="strict"
+        ).collect()
+    }
+    for i in range(0, 40, 3):
+        w, h = 16 + i % 48, 12 + (i // 7) % 36
+        base = i + np.arange(w)[None, :] + 2 * np.arange(h)[:, None]
+        if i % 2 == 0:
+            expect = 3 * int((base % 256).sum())
+        else:
+            expect = int(
+                ((base[:, :, None] + 85 * np.arange(3)[None, None, :]) % 256).sum()
+            )
+        r = out[i]
+        assert (r["width"], r["height"], r["pixel_sum"], r["corrupt"]) == (
+            w,
+            h,
+            expect,
+            False,
+        )
