@@ -831,6 +831,20 @@ def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(media, decode="strict")
 
 
+def q_media_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame decode, differentially checked: synthesized
+    YUV4MPEG2 payloads whose per-frame luma planes are a pure integer
+    function of (id, frame), strict-decoded and per-frame-sampled; the
+    oracle predicts frame count, dimensions and Σluma per sampled frame
+    with plain SQL while the engine earns them by walking the real
+    container (multimodal.decode_y4m). every_ms=100 at 10 fps samples
+    every frame, so the sampling arithmetic is covered too."""
+    from ocr_project_spark.multimodal import frame_pixel_stats, synthesize_y4m_media
+
+    media = synthesize_y4m_media(_docs(spark, sf_dir))
+    return frame_pixel_stats(media, every_ms=100, decode="strict")
+
+
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-feature plumbing on the deterministic fake path (the real WAV
     decode is pytest-covered — binary WAV payloads are not constructible in
@@ -973,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "media_png": q_media_png,
+        "media_y4m": q_media_y4m,
         "media_audio": q_media_audio,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -1418,6 +1433,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i.media_id % 2 = 0 THEN 3 * s.s1 ELSE s.s3 END
                         AS BIGINT) AS pixel_sum,
                    FALSE AS corrupt
+            FROM ids i JOIN sums s USING (media_id)
+        """,
+        # media_y4m: the engine walks real Y4M containers; the oracle
+        # replays the planted luma formula (synthesize_y4m_media) with
+        # static series bounds matching the synthesis (w ≤ 31, h ≤ 23,
+        # frames ≤ 5; every_ms=100 at 10 fps ⇒ frame_idx = sample k).
+        "media_y4m": """
+            WITH ids AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 24 AS w,
+                       6 + (doc_id // 5) % 18 AS h,
+                       2 + doc_id % 4 AS nf
+                FROM documents
+            ),
+            xs AS (SELECT g AS x FROM generate_series(0, 31) q(g)),
+            ys AS (SELECT g AS y FROM generate_series(0, 23) q(g)),
+            ts AS (SELECT g AS t FROM generate_series(0, 5) q(g)),
+            sums AS (
+                SELECT i.media_id, ts.t,
+                       SUM((i.media_id + x + 2 * y + 3 * ts.t) % 256) AS s
+                FROM ids i, xs, ys, ts
+                WHERE xs.x < i.w AND ys.y < i.h AND ts.t < i.nf
+                GROUP BY i.media_id, ts.t
+            )
+            SELECT i.media_id,
+                   CAST(s.t AS BIGINT) AS frame_idx,
+                   CAST(i.w AS BIGINT) AS width,
+                   CAST(i.h AS BIGINT) AS height,
+                   CAST(s.s AS BIGINT) AS luma_sum
             FROM ids i JOIN sums s USING (media_id)
         """,
         "media_audio": f"""
