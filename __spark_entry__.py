@@ -598,6 +598,19 @@ def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_spans(_dedup_corpus_de(spark, sf_dir), n=8)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span REMOVAL over the planted-dup corpus: documents are
+    rewritten with every position covered by a cross-doc repeated 8-gram
+    excised (planted exact copies reduce to empty text, the head-edited
+    near-dups keep exactly their unique head, natural boilerplate spans
+    vanish corpus-wide). The oracle replays the byte-exact string surgery
+    in SQL: same gram inventory, same covered-position set, same
+    single-space rejoin."""
+    from ocr_project_spark.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(_dedup_corpus_de(spark, sf_dir), n=8)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup over base ∪ planted exact copies (+100000),
     projected to the planted pairs (id_b = id_a + 100000). Identical text ⇒
@@ -976,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_span_removal": q_dedup_span_removal,
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
@@ -1308,6 +1322,52 @@ def oracle_sql() -> dict[str, str]:
         # the LSH-verified output equals exact Jaccard at ≥0.8 (candidate
         # recall ≈ 1 - 1e-7 at 128 hashes / 32 bands)
         "dedup_minhash": _JACCARD_DE_SQL,
+        # byte-exact replay of remove_repeated_spans: same full-8-gram
+        # inventory (parallel unnest zips starts with grams), same covered
+        # positions, same ordered single-space rejoin
+        "dedup_span_removal": f"""
+            WITH {_DEDUP_CORPUS},
+            corp AS (SELECT doc_id, text FROM corpus WHERE lang = 'de'),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp),
+            g AS (
+                SELECT doc_id,
+                       unnest(range(greatest(len(ws) - 7, 0))) AS start,
+                       unnest(list_transform(
+                           range(greatest(len(ws) - 7, 0)),
+                           i -> array_to_string(list_slice(ws, i + 1, i + 8), ' ')
+                       )) AS gram
+                FROM w
+            ),
+            rep AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT g.doc_id, g.start + o.off AS pos
+                FROM g JOIN rep USING (gram), generate_series(0, 7) o(off)
+            ),
+            pw AS (
+                SELECT doc_id, unnest(range(len(ws))) AS pos,
+                       unnest(ws) AS word
+                FROM w
+            ),
+            kept AS (
+                SELECT pw.doc_id, pw.pos, pw.word
+                FROM pw LEFT JOIN cov
+                  ON pw.doc_id = cov.doc_id AND pw.pos = cov.pos
+                WHERE cov.doc_id IS NULL
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id
+            ),
+            nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+            SELECT c.doc_id, COALESCE(r.text, '') AS text,
+                   CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed
+            FROM corp c
+            LEFT JOIN rebuilt r USING (doc_id)
+            LEFT JOIN nrem nr USING (doc_id)
+        """,
         "dedup_minhash_keep": _MINHASH_KEEP_SQL,
         "dedup_minhash_clusters": _MINHASH_CLUSTERS_SQL,
         # planted-copy projection: identical text ⇒ identical simhash ⇒

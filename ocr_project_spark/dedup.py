@@ -144,6 +144,83 @@ def repeated_ngram_spans(
     )
 
 
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level dedup REWRITER: excise every word position covered by
+    a word ``n``-gram that occurs in ≥ ``min_docs`` distinct documents — the
+    step substring-dedup pipelines actually apply before training
+    (boilerplate paragraphs, licence headers, templated chrome), where
+    :func:`repeated_ngram_spans` only inventories. Byte-exact semantics:
+    a position is removed iff some repeated full n-gram occurrence covers
+    it; survivors re-join with single spaces — a pure function of the
+    corpus, replayed exactly by the driver's ``dedup_span_removal`` oracle.
+
+    Shape at 100 TB: one gram explode (cnt−n+1 rows/doc) → partial-agg
+    groupBy(gram) for the repeated set → semi-join hits → per-doc
+    covered-position sets (collect_set of ints, bounded by doc length) →
+    row-local rebuild via a JVM index-filter lambda. Only gram rows and
+    tiny position sets shuffle — document payloads never do; at 100 TB the
+    join key becomes ``xxhash64(gram)`` (the :func:`repeated_ngram_spans`
+    note). Output: (doc_id, text, n_removed).
+    """
+    words = F.split(F.col(text_col), " ")
+    cnt = F.size(words)
+    g = (
+        docs.where(cnt >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(" ", F.slice(words, i + 1, n)).alias("gram"),
+                    ),
+                )
+            ).alias("sg"),
+        )
+        .select("doc_id", F.col("sg.start").alias("start"), F.col("sg.gram").alias("gram"))
+    )
+    rep = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        g.join(rep, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias(
+                "pos"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__covered"))
+    )
+    empty = F.array().cast("array<int>")
+    cov = F.coalesce(F.col("__covered"), empty)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("__ws"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    "__ws", lambda w, i: ~F.array_contains(cov, i.cast("int"))
+                ),
+                " ",
+            ).alias("text"),
+            F.size(cov).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

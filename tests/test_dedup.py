@@ -183,3 +183,44 @@ def test_band_matrix_rejects_more_bands_than_hashes(corpus):
 
     with pytest.raises(Exception, match="bands.*must be <="):
         minhash_near_dup_pairs(corpus, num_hashes=8, bands=16).collect()
+
+
+def test_remove_repeated_spans_byte_exact(spark):
+    """The substring rewriter excises exactly the positions covered by
+    cross-doc repeated n-grams and rejoins with single spaces."""
+    from ocr_project_spark.dedup import remove_repeated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # an exact 8-gram
+    rows = [
+        (1, f"u1 u2 {boiler} u3 u4", "en"),       # boiler at positions 2-9
+        (2, f"{boiler} v1 v2 v3 v4 v5 v6", "en"),  # boiler at positions 0-7
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en"),   # untouched
+        (4, "short doc", "en"),                     # < n words: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, n=8).collect()}
+    assert out[1]["text"] == "u1 u2 u3 u4" and out[1]["n_removed"] == 8
+    assert out[2]["text"] == "v1 v2 v3 v4 v5 v6" and out[2]["n_removed"] == 8
+    assert out[3]["text"] == "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text"] == "short doc" and out[4]["n_removed"] == 0
+
+
+def test_remove_repeated_spans_exact_copies_vanish(spark):
+    """Two byte-identical long docs share every n-gram → both reduce to
+    empty text; a one-word head edit survives only its unique head."""
+    from ocr_project_spark.dedup import remove_repeated_spans
+
+    base = " ".join(f"t{i}" for i in range(20))
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),
+        (3, "zzznear " + " ".join(f"t{i}" for i in range(1, 20)), "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df, n=8).collect()}
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 20
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 20
+    # doc 3: every gram containing position 0 (the edited word) is unique,
+    # but grams starting at 1.. match docs 1/2's tails → positions 1-19 go
+    assert out[3]["text"] == "zzznear" and out[3]["n_removed"] == 19
