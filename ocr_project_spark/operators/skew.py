@@ -48,13 +48,22 @@ def hot_hosts(
 ) -> DataFrame:
     """Hosts whose row share exceeds ``threshold`` — a small aggregate meant
     to be collected/broadcast (bounded by the number of distinct hot domains,
-    which is tiny by construction of the threshold)."""
-    with_h = with_host(df, url_col)
-    total = with_h.count()
+    which is tiny by construction of the threshold).
+
+    One pass over the input, fully lazy: the denominator is a re-aggregation
+    of the per-host counts (one row per host, never the raw rows) cross-joined
+    back as a broadcast 1-row total, so both sides share the same shuffle
+    (Catalyst ReusedExchange) instead of the old separate eager ``count()``
+    action scanning the input a second time."""
+    counts = (
+        with_host(df, url_col)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    total = counts.agg(F.sum("__n").alias("__total"))
     return (
-        with_h.groupBy("host")
-        .count()
-        .where(F.col("count") > threshold * total)
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("__n") > F.col("__total") * threshold)
         .select("host")
     )
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ocr_project_spark.datagen import LANG_MARKERS
-
 # BPE-ish token pattern: word pieces or single non-space punctuation.
 TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
 # The body vocabulary's function words (used for the stopword-ratio feature).
@@ -325,27 +323,84 @@ def rolling_fingerprints(
     )
 
 
-def lang_id(pages: DataFrame, payload_col: str = "html") -> DataFrame:
-    """Language identification from boilerplate chrome vocabulary.
+# Per-language identification profiles: public function words (the
+# stopword-frequency approach of Cavnar–Trenkle-style langid) plus public
+# web-chrome vocabulary (nav/footer/legal words — the strongest signal on
+# web pages; "impressum"/"datenschutz" alone identify German legal pages).
+# Entries are chosen pairwise-disjoint across profiles and disjoint from
+# ambiguous short forms shared between languages ("a", "in", "es", "la",
+# "son", "des", "was" are all omitted for that reason) so the argmax stays
+# discriminative. Latin-script languages score on word-boundary membership;
+# zh (no word boundaries) scores on character/word substring occurrences.
+LANGID_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (
+        "and", "of", "to", "you", "that", "for", "are", "with", "they",
+        "this", "have", "from", "not", "which", "would", "there", "when",
+        "your", "will", "how",
+        "homepage", "about", "privacy", "terms", "sitemap",
+    ),
+    "de": (
+        "der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+        "auf", "für", "dem", "den", "sich", "auch", "wird", "sind", "oder",
+        "aber", "nach",
+        "startseite", "impressum", "kontakt", "datenschutz", "hilfe",
+    ),
+    "fr": (
+        "le", "les", "est", "pas", "pour", "dans", "qui", "une", "vous",
+        "avec", "sur", "mais", "nous", "cette", "par", "au", "ce", "plus",
+        "ont", "tout",
+        "accueil", "confidentialite", "mentions", "recherche", "aide",
+    ),
+    "es": (
+        "el", "los", "las", "por", "para", "con", "como", "pero", "sus",
+        "este", "ser", "más", "muy", "sin", "sobre", "entre", "cuando",
+        "todo", "una", "fue",
+        "inicio", "acerca", "contacto", "privacidad", "buscar",
+    ),
+    "zh": (
+        "的", "是", "在", "了", "和", "有", "我", "不", "这", "个", "为",
+        "他", "们", "中", "也", "就",
+        "首页", "关于我们", "联系我们", "隐私政策", "搜索",
+    ),
+}
 
-    Counts per-language marker occurrences in the raw payload (navigation /
-    footer words are the strongest language signal on web pages — body text
-    here shares one vocabulary across languages by construction) and picks
-    the argmax. JVM-side: decode → per-lang occurrence counts via
-    length-difference, argmax via greatest/when chain.
-    """
-    text = F.decode(F.col(payload_col), "UTF-8")
+
+def lang_id(
+    pages: DataFrame,
+    payload_col: str = "html",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Language identification by public stopword/web-chrome profile scoring
+    (see :data:`LANGID_PROFILES`): lowercase, tokenize on non-letter runs,
+    count per-language profile membership (substring occurrences for the
+    boundary-less zh script), argmax with an alphabetical-first
+    deterministic tiebreak. Everything JVM-side — regex split + codegen'd
+    ``filter``/``array_contains`` membership and length-difference counts;
+    no Python in the path, the whole pass is one narrow projection at any
+    scale. Accuracy on real mixed-language prose is pytest-covered
+    (tests/test_textops.py); the driver oracle holds it to ground truth on
+    the synthetic corpus."""
+    profiles = profiles or LANGID_PROFILES
+    text = F.lower(F.decode(F.col(payload_col), "UTF-8"))
+    words = F.split(text, r"[^\p{L}]+")
 
     def hits(lang: str):
-        h = F.lit(0)
-        for marker in LANG_MARKERS[lang]:
-            occ = (
-                F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
-            ) / F.length(F.lit(marker))
-            h = h + occ
-        return h.cast("long")
+        prof = profiles[lang]
+        if lang == "zh":
+            h = F.lit(0).cast("long")
+            for entry in prof:
+                occ = (
+                    F.length(text)
+                    - F.length(F.replace(text, F.lit(entry), F.lit("")))
+                ) / F.length(F.lit(entry))
+                h = h + occ.cast("long")
+            return h
+        prof_arr = F.array(*[F.lit(w) for w in prof])
+        return F.size(
+            F.filter(words, lambda w: F.array_contains(prof_arr, w))
+        ).cast("long")
 
-    langs = sorted(LANG_MARKERS)
+    langs = sorted(profiles)
     hit_cols = {lang: hits(lang) for lang in langs}
     best = F.greatest(*[hit_cols[lang] for lang in langs])
     pred = F.lit(None).cast("string")

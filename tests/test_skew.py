@@ -153,3 +153,23 @@ def test_canonical_url_rules(spark):
     # collect() preserves the single-partition input order here
     for (inp, expected), out in zip(cases, got):
         assert out == expected, f"{inp} -> {out} != {expected}"
+
+
+def test_hot_hosts_is_lazy_one_pass(spark):
+    """hot_hosts must not run an eager count() action at construction time
+    (ADVICE r2): building the DataFrame launches zero Spark jobs, and the
+    total rides the same aggregation as the per-host counts."""
+    from ocr_project_spark.operators.skew import hot_hosts
+
+    rows = [(f"https://h{i % 3}.example.org/p{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "url string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup())
+    hot = hot_hosts(df, threshold=0.2)
+    assert len(tracker.getJobIdsForGroup()) == before  # no job yet
+    assert {r["host"] for r in hot.collect()} == {
+        "h0.example.org",
+        "h1.example.org",
+        "h2.example.org",
+    }
+    assert hot_hosts(df, threshold=0.5).collect() == []

@@ -195,3 +195,33 @@ def test_shard_by_token_budget_empty_input(spark):
     out = shard_by_token_budget(empty, budget=100)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["doc_id", "n_tokens", "shard"]
+
+
+def test_lang_id_real_prose_accuracy(spark):
+    """The stopword-profile scorer must identify real mixed-language prose,
+    not just the synthetic chrome (round-2 verdict: make lang_id mean
+    something beyond the corpus)."""
+    from ocr_project_spark.textops import lang_id
+
+    fixtures = [
+        (1, "en", b"This is the report that you asked for and they are "
+                  b"going to review it with your team when the data is ready."),
+        (2, "de", b"Der Bericht ist nicht fertig und die Daten werden erst "
+                  b"nach dem Treffen mit der Abteilung bereitgestellt."),
+        (3, "fr", b"Nous avons pour objectif de livrer le rapport dans les "
+                  b"meilleurs delais avec une analyse complete pour vous."),
+        (4, "es", b"El informe no esta listo y los datos se entregan para "
+                  b"revision con el equipo cuando este todo preparado."),
+        (5, "zh", "这个报告还没有完成我们会在会议之后提供数据他们都说这是很重要的".encode()),
+        (6, "en", b"<html><nav><a href='/about'>about</a></nav><p>They have "
+                  b"not shipped this yet and there would be more to review "
+                  b"when you are ready.</p></html>"),
+        (7, "de", b"<footer>Impressum Kontakt Datenschutz</footer><p>Die "
+                  b"Seite wird nach dem Update nicht mehr angezeigt.</p>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, _, p in fixtures], "doc_id long, html binary"
+    )
+    preds = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    for i, want, _ in fixtures:
+        assert preds[i] == want, f"doc {i}: {preds[i]} != {want}"
