@@ -72,13 +72,19 @@ def embedding_dedup_keep(
     n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-dedup materializer: the vec_ids a training pipeline keeps
-    after near-duplicate removal — drop every vector that has a
-    lower-id near-duplicate (the LSH-candidate + exact-verify pair set of
-    :func:`embedding_near_dup_pairs`), keep the rest. The anti-join is on
-    the (small) drop set; the corpus itself never re-shuffles."""
+    after near-duplicate removal — the verified near-dup pairs of
+    :func:`embedding_near_dup_pairs` collapse into connected components
+    (components.connected_components) and each cluster keeps its min-id
+    representative, singletons survive. Transitive closure matters here
+    exactly as in the hash families: A~B, B~C must drop both B and C even
+    when the (A,C) pair never crossed the cosine threshold. The anti-join
+    is on the (small) drop set; the corpus itself never re-shuffles."""
+    from ocr_project_spark.components import near_dup_keep
+
     pairs = embedding_near_dup_pairs(embeddings, threshold, n_planes, dim, n_tables)
-    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    return embeddings.select("vec_id").join(drops, "vec_id", "left_anti")
+    return near_dup_keep(
+        embeddings, pairs.select("id_a", "id_b"), id_col="vec_id"
+    ).select(F.col("doc_id").alias("vec_id"))
 
 
 def _cosine(vec_a, vec_b):

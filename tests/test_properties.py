@@ -152,3 +152,52 @@ def test_wav_roundtrip_property(n, rate, seed):
     assert out_rate == rate and len(out) == n
     # truncation (1 LSB) + the 32767-encode/32768-decode scale skew
     assert np.max(np.abs(out - samples)) <= 2.0 / 32768
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filter_type=st.integers(min_value=0, max_value=4),
+    gray=st.booleans(),
+)
+def test_png_roundtrip_property(w, h, seed, filter_type, gray):
+    """decode(encode(img, any filter, any color arm)) == img for arbitrary
+    pixel content and dimensions — the PNG unfiltering recurrences hold
+    everywhere, not just on the planted fixtures."""
+    import numpy as np
+
+    from ocr_project_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if gray:
+        img = img[:, :, :1].repeat(3, axis=2)
+    out = decode_png(encode_png(img, filter_type=filter_type, gray=gray))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=24),
+    n_frames=st.integers(min_value=1, max_value=6),
+    num=st.integers(min_value=1, max_value=60),
+    den=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_y4m_roundtrip_property(w, h, n_frames, num, den, seed):
+    import numpy as np
+
+    from ocr_project_spark.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    decoded, dw, dh, fps = decode_y4m(encode_y4m(frames, fps=(num, den)))
+    assert (dw, dh, fps) == (w, h, (num, den))
+    assert len(decoded) == n_frames
+    for (luma, _), orig in zip(decoded, frames):
+        assert np.array_equal(luma, orig)
