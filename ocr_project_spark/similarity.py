@@ -54,14 +54,18 @@ def embedding_near_dup_pairs(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").cast("array<double>").alias("vec_b"),
     )
-    cands = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+    cands = a.join(b, ["table", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+    # score before dedup: the multi-table-collision dedup then shuffles one
+    # scalar per candidate instead of two dim-length vectors (true near-dups
+    # collide in MOST tables, so the vector-carrying dedup was the dominant
+    # shuffle); the threshold filter also runs pre-shuffle, map-side.
+    return (
+        cands.select(
+            "id_a", "id_b", _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cands.select(
-        "id_a", "id_b", _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
 
 
 def embedding_dedup_keep(
@@ -391,21 +395,24 @@ def lsh_topk(
         "bucket",
         F.col("embedding").cast("array<double>").alias("vec_q"),
     )
-    cands = (
-        corpus_b.join(F.broadcast(query_b), ["table", "bucket"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        # a pair found by several tables is scored once
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cands = corpus_b.join(F.broadcast(query_b), ["table", "bucket"]).where(
+        F.col("neighbor_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
+        # score BEFORE deduplicating multi-table collisions: cosine is a
+        # deterministic function of the pair, so the dedup shuffle carries
+        # one scalar instead of two dim-length vectors per candidate (the
+        # redundant JVM cosine on a colliding copy is codegen-cheap; the
+        # shuffle bytes are the scale cost)
         cands.select(
             "query_id",
             "neighbor_id",
             _cosine(F.col("vec_q"), F.col("vec_n")).alias("cosine"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
