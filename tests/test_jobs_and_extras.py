@@ -97,3 +97,49 @@ def test_html_kernel_unclosed_tags():
     # html.parser sees no </p>; the second <p> opens a new block
     texts = pages[0][1]
     assert "second para" in " ".join(texts)
+
+
+def test_dedup_cli_end_to_end(spark, tmp_path):
+    """jobs/dedup.py: documents → minhash keep-list + kept corpus, with the
+    planted duplicate structure removed (exact copies + near-dups collapse
+    into one representative per cluster)."""
+    from ocr_project_spark.dedup import dedup_test_corpus
+    from ocr_project_spark.jobs.dedup import main
+
+    docs = dedup_test_corpus(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).where("lang = 'de'")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    keep_path = str(tmp_path / "keep")
+    kept_path = str(tmp_path / "kept")
+    main(
+        [
+            "--documents", src,
+            "--keep", keep_path,
+            "--kept-corpus", kept_path,
+            "--method", "minhash",
+            "--num-hashes", "128",
+            "--bands", "32",
+        ],
+        spark=spark,
+    )
+    keep = {r["doc_id"] for r in spark.read.parquet(keep_path).collect()}
+    n_total = docs.count()
+    # every exact copy (+100000) must be gone; its keeper is the base id
+    assert not any(100000 <= d < 200000 for d in keep)
+    assert len(keep) < n_total
+    kept = spark.read.parquet(kept_path)
+    assert kept.count() == len(keep)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == keep
+
+
+def test_dedup_cli_exact_method(spark, tmp_path):
+    from ocr_project_spark.jobs.dedup import main
+
+    rows = [(1, "x y z", "en"), (2, "x y z", "en"), (3, "q r s", "en")]
+    src = str(tmp_path / "d")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "k")
+    main(["--documents", src, "--keep", out, "--method", "exact"], spark=spark)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 3}
