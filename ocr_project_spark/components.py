@@ -51,12 +51,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", F.col("src")).alias("m"))
+        .select(F.col("src").alias("ms"), F.least("mn", F.col("src")).alias("m"))
     )
+    # explicit aliases: mins derives from sym, and a bare self-join on the
+    # shared column name can mis-resolve attributes on some input lineages
     return (
-        sym.join(mins, "src")
-        .where(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        sym.alias("e")
+        .join(mins.alias("mi"), F.col("e.src") == F.col("mi.ms"))
+        .where(F.col("e.dst") > F.col("e.src"))
+        .select(F.col("e.dst").alias("src"), F.col("mi.m").alias("dst"))
         .distinct()
     )
 
@@ -68,13 +71,16 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     )
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    to_neighbors = (
-        oriented.join(mins, "src")
-        .where(F.col("dst") != F.col("m"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m")).select(
+        F.col("src").alias("ms"), "m"
     )
-    to_center = mins.select("src", F.col("m").alias("dst"))
+    to_neighbors = (
+        oriented.alias("e")
+        .join(mins.alias("mi"), F.col("e.src") == F.col("mi.ms"))
+        .where(F.col("e.dst") != F.col("mi.m"))
+        .select(F.col("e.dst").alias("src"), F.col("mi.m").alias("dst"))
+    )
+    to_center = mins.select(F.col("ms").alias("src"), F.col("m").alias("dst"))
     return to_neighbors.union(to_center).distinct()
 
 
@@ -95,25 +101,44 @@ def connected_components(
     point the edges form stars (node → component min) exactly.
     """
     spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()  # materialize once: pair generation (LSH) is expensive
-    )
-    prev = _edge_checksum(edges)
-    if prev[0] == 0:
-        return spark.createDataFrame([], COMPONENT_SCHEMA)
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        cur = _edge_checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+    # Catalyst's constraint propagation mis-rewrites constraints through
+    # the star ops' self-referencing unions on some input lineages
+    # (UnionBase.rewriteConstraints throws "key not found: <attr>") —
+    # disable it for the loop only; constraints are an optimizer hint, not
+    # a correctness surface, and the loop's joins carry no pushable
+    # filters they would help.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        edges = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()  # materialize once: pair generation is expensive
         )
+        prev = _edge_checksum(edges)
+        if prev[0] == 0:
+            edges.unpersist()
+            return spark.createDataFrame([], COMPONENT_SCHEMA)
+        for _ in range(max_iter):
+            nxt = _small_star(_large_star(edges)).localCheckpoint()
+            # nxt is self-contained once checkpointed — release the previous
+            # round's blocks so a long-lived session doesn't accrue one
+            # cached edge set per round (only the FINAL round's blocks stay,
+            # and they back the returned DataFrame)
+            edges.unpersist()
+            edges = nxt
+            cur = _edge_checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set(cp_key, cp_prev)
     members = edges.select(
         F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
     )
