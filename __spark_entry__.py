@@ -949,6 +949,15 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_percentiles(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (top-word share,
+    distinct-word ratio, duplicated-2-gram position share), integer-scaled
+    for exact replay."""
+    from ocr_project_spark.textops import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import lang_id
 
@@ -1007,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_quality_gate": q_text_quality_gate,
         "gopher_gate": q_gopher_gate,
+        "text_repetition": q_text_repetition,
         "rolling_fingerprints": q_rolling_fingerprints,
         "token_shards": q_token_shards,
         "text_fingerprints": q_text_fingerprints,
@@ -1591,6 +1601,52 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(floor(length(replace(text, ' ', '')) * 100
                        / len(string_split(text, ' '))) AS BIGINT)
                   BETWEEN 200 AND 900
+        """,
+        # exact replay of repetition_signals: word/2-gram counts via
+        # parallel-unnest explodes, dup positions = sum of counts >= 2
+        "text_repetition": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            wc AS (
+                SELECT doc_id, word, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+                GROUP BY doc_id, word
+            ),
+            ws AS (
+                SELECT doc_id, max(c) AS top, count(*) AS n_distinct
+                FROM wc GROUP BY doc_id
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(n - 1, 1)),
+                           i -> array_to_string(list_slice(ws, i + 1, i + 2), ' ')
+                       )) AS gram
+                FROM w WHERE n >= 2
+            ),
+            gc AS (
+                SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+            ),
+            dup AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_pos
+                FROM gc GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(w.n AS BIGINT) AS n_words,
+                   CAST(floor(ws.top * 10000 / w.n) AS BIGINT)
+                       AS top_word_frac_x10000,
+                   CAST(floor(ws.n_distinct * 10000 / w.n) AS BIGINT)
+                       AS distinct_word_frac_x10000,
+                   CAST(floor(COALESCE(dup.dup_pos, 0) * 10000
+                              / greatest(w.n - 1, 1)) AS BIGINT)
+                       AS dup_2gram_frac_x10000
+            FROM w
+            JOIN ws ON w.doc_id = ws.doc_id
+            LEFT JOIN dup ON w.doc_id = dup.doc_id
         """,
         "gopher_gate": r"""
             WITH f AS (

@@ -148,6 +148,7 @@ def main() -> None:
         gopher_gate,
         lang_id,
         quality_scores,
+        repetition_signals,
         shard_by_token_budget,
     )
 
@@ -234,6 +235,7 @@ def main() -> None:
         lambda: quality_scores(docs).join(fingerprints(docs), "doc_id").count(),
     )
     timed("gopher_gate", lambda: gopher_gate(docs).count())
+    timed("text_repetition", lambda: repetition_signals(docs).count())
     timed(
         "dedup_repeated_ngrams",
         lambda: repeated_ngram_spans(docs, n=8).count(),
@@ -313,15 +315,19 @@ def main() -> None:
         legs[n] = min(leg_runs[n], key=lambda leg: leg["seconds"])
 
     if not one_jvm and cpus >= 16:
+        # shared retry budget bounds the worst-case wall cost of all guards
+        retry_budget = 3
         for big, small in ((cpus // 4, cpus // 16), (cpus, cpus // 4)):
             extra = 0
             while (
                 legs[big]["docs_per_sec"] < 1.1 * legs[small]["docs_per_sec"]
                 and extra < 2
+                and retry_budget > 0
             ):
                 leg_runs[big].append(extract_jvm(big, repeats=1))
                 _best(big)
                 extra += 1
+                retry_budget -= 1
         # Same guard for the unsaturated N-vs-4N criterion itself: clean
         # measurements put the 2→8 pair at 0.86–0.95 (bare-kernel ceiling
         # 0.925 ± turbo), so a sampled efficiency under 0.8 means the
@@ -335,10 +341,12 @@ def main() -> None:
             legs[cpus // 4]["docs_per_sec"]
             < 0.8 * 4 * legs[cpus // 16]["docs_per_sec"]
             and extra < 2
+            and retry_budget > 0
         ):
             leg_runs[cpus // 4].append(extract_jvm(cpus // 4, repeats=1))
             _best(cpus // 4)
             extra += 1
+            retry_budget -= 1
 
     timings["extract"] = legs[cpus]["seconds"]
     n_ext_docs = legs[cpus]["n_docs"]

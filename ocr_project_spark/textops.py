@@ -121,6 +121,73 @@ def gopher_gate(
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of the
+    document claimed by its most frequent word, the distinct-word ratio,
+    and the fraction of 2-gram positions whose 2-gram repeats within the
+    document — the repetition gates a webtext pipeline applies alongside
+    the length/shape rules (:func:`gopher_gate`). Integer-scaled (×10000,
+    floored) so a DuckDB oracle replays the values exactly.
+
+    Scale shape: explode → two partial-agg groupBys (word counts, gram
+    counts) → per-doc rollup → broadcast-free joins on doc_id. Linear in
+    corpus size; never an O(distinct×len) per-row array scan, which is the
+    tempting-but-wrong pure-expression formulation."""
+    words = F.split(F.col(text_col), " ")
+    base = docs.select("doc_id", words.alias("__ws"))
+    n_words = F.size("__ws")
+    sized = base.select("doc_id", "__ws", n_words.alias("__n"))
+
+    word_counts = (
+        sized.select("doc_id", F.explode("__ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_stats = word_counts.groupBy("doc_id").agg(
+        F.max("c").alias("__top"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("__n") - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice("__ws", i, 2)),
+    )
+    gram_counts = (
+        sized.where(F.col("__n") >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_stats = gram_counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "__dup_pos"
+        )
+    )
+
+    return (
+        sized.select("doc_id", F.col("__n"))
+        .join(word_stats, "doc_id")
+        .join(dup_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_words"),
+            F.floor(F.col("__top") * 10000 / F.col("__n"))
+            .cast("long")
+            .alias("top_word_frac_x10000"),
+            F.floor(F.col("__distinct") * 10000 / F.col("__n"))
+            .cast("long")
+            .alias("distinct_word_frac_x10000"),
+            F.floor(
+                F.coalesce(F.col("__dup_pos"), F.lit(0))
+                * 10000
+                / F.greatest(F.col("__n") - 1, F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_2gram_frac_x10000"),
+        )
+    )
+
+
 def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language corpus rollup: doc counts, word totals, exact
     avg/min/max word counts (integer-safe) — the dataset-card numbers a

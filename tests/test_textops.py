@@ -225,3 +225,24 @@ def test_lang_id_real_prose_accuracy(spark):
     preds = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
     for i, want, _ in fixtures:
         assert preds[i] == want, f"doc {i}: {preds[i]} != {want}"
+
+
+def test_repetition_signals(spark):
+    from ocr_project_spark.textops import repetition_signals
+
+    rows = [
+        (1, "a a a b"),        # top=3/4, distinct=2/4, dup 2-gram pos 2/3
+        (2, "x y z w"),        # no repetition at all
+        (3, "p p p p p"),      # fully repeated
+        (4, "solo"),           # single word: no 2-gram positions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["top_word_frac_x10000"] == 7500
+    assert out[1]["distinct_word_frac_x10000"] == 5000
+    assert out[1]["dup_2gram_frac_x10000"] == 6666
+    assert out[2]["top_word_frac_x10000"] == 2500
+    assert out[2]["dup_2gram_frac_x10000"] == 0
+    assert out[3]["top_word_frac_x10000"] == 10000
+    assert out[3]["dup_2gram_frac_x10000"] == 10000
+    assert out[4]["n_words"] == 1 and out[4]["dup_2gram_frac_x10000"] == 0
