@@ -949,6 +949,16 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_percentiles(_docs(spark, sf_dir))
 
 
+def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (hash_split): md5-bucket
+    partition of the id space — a pure function of the id, invariant to
+    partitioning/row order (df.sample is neither), replayed bucket-exactly
+    by the oracle via the hex-prefix parse."""
+    from ocr_project_spark.textops import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition signals (top-word share,
     distinct-word ratio, duplicated-2-gram position share), integer-scaled
@@ -1017,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": q_text_quality_gate,
         "gopher_gate": q_gopher_gate,
         "text_repetition": q_text_repetition,
+        "doc_splits": q_doc_splits,
         "rolling_fingerprints": q_rolling_fingerprints,
         "token_shards": q_token_shards,
         "text_fingerprints": q_text_fingerprints,
@@ -1601,6 +1612,21 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(floor(length(replace(text, ' ', '')) * 100
                        / len(string_split(text, ' '))) AS BIGINT)
                   BETWEEN 200 AND 900
+        """,
+        # hash_split replay: same md5 hex-prefix bucket, same ordered
+        # threshold chain
+        "doc_splits": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       ({_hex_int("md5('split' || CAST(doc_id AS VARCHAR))", 1, 8)})
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 9800 THEN 'train'
+                        WHEN bucket < 9900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         # exact replay of repetition_signals: word/2-gram counts via
         # parallel-unnest explodes, dup positions = sum of counts >= 2

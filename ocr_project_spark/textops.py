@@ -292,6 +292,46 @@ def shard_by_token_budget(
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    splits: dict[str, int] | None = None,
+    buckets: int = 10_000,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each document lands in a
+    bucket via md5(salt ‖ id) and the ordered ``splits`` weights partition
+    the bucket space — the held-out-set cut a training pipeline makes,
+    where sampling must be a pure function of the id (NEVER
+    ``df.sample``: its output depends on partitioning and row order, so a
+    re-run or a repartition silently reshuffles the split). Uniform by
+    md5; stratification across languages/hosts follows from uniformity.
+    Pure JVM expression (md5 → hex-prefix parse → modulo), and exactly
+    replayable in SQL, so the assignment is oracle-checked byte-for-byte.
+
+    ``splits`` maps name → weight in buckets (must sum to ≤ ``buckets``;
+    remainder falls into the last split). Output: (doc_id, bucket, split).
+    """
+    splits = splits or {"train": 9_800, "val": 100, "test": 100}
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    names = list(splits)
+    bounds = []
+    acc = 0
+    for name in names:
+        acc += splits[name]
+        bounds.append((name, acc))
+    # build innermost-last: the final chain tests the lowest bound first
+    expr = F.lit(names[-1])
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(F.col("bucket") < F.lit(hi), F.lit(name)).otherwise(expr)
+    out = docs.select(F.col(id_col).alias("doc_id"), bucket.alias("bucket"))
+    return out.select("doc_id", "bucket", expr.alias("split"))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", shingle: int = 4) -> DataFrame:
     """Document fingerprints: full-text md5 plus a shingle fingerprint —
     the lexicographic minimum of the md5s of all word ``shingle``-grams

@@ -246,3 +246,26 @@ def test_repetition_signals(spark):
     assert out[3]["top_word_frac_x10000"] == 10000
     assert out[3]["dup_2gram_frac_x10000"] == 10000
     assert out[4]["n_words"] == 1 and out[4]["dup_2gram_frac_x10000"] == 0
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """The split must be a pure function of the id: identical across
+    re-runs AND across arbitrary repartitioning (df.sample is neither)."""
+    from ocr_project_spark.textops import hash_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert shares["train"] > 1800  # ~98% of 2000, loose uniformity check
+    assert 0 < shares["val"] < 200 and 0 < shares["test"] < 200
+    # custom split weights partition the full bucket space in order
+    c = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, splits={"a": 5000, "b": 5000}).collect()}
+    assert set(c.values()) == {"a", "b"}
