@@ -145,3 +145,17 @@ def test_embedding_dedup_keep_transitive(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     kept = {r["vec_id"] for r in embedding_dedup_keep(emb, threshold=0.95).collect()}
     assert kept == {1, 9}
+
+
+def test_constraint_propagation_conf_restored(spark):
+    """connected_components disables constraint propagation for its loop
+    only — the session conf must come back exactly as it was."""
+    key = "spark.sql.constraintPropagation.enabled"
+    before = spark.conf.get(key, "true")
+    connected_components(_pairs(spark, [(1, 2), (2, 3)])).collect()
+    assert spark.conf.get(key, "true") == before
+    # and on the empty-input early return too
+    connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).collect()
+    assert spark.conf.get(key, "true") == before
