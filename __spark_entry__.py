@@ -949,6 +949,23 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_percentiles(_docs(spark, sf_dir))
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WET sink round-trip: extraction successes → WARC conversion
+    (WET) segments, one per Arrow batch → parsed back through the WARC
+    source in conversion mode. The (url, text) record set must equal the
+    well-formed ground truth byte-for-byte regardless of how rows were
+    cut into segments — sink framing, Content-Length arithmetic, and the
+    conversion-record parse are all on the hook."""
+    from ocr_project_spark.sources.warc import pages_from_warc, wet_from_results
+
+    res = _results(spark, sf_dir).where("success").select("url", "text")
+    segs = wet_from_results(res)
+    back = pages_from_warc(
+        segs, content_col="segment", record_types=("conversion",)
+    )
+    return back.select("url", F.decode("html", "UTF-8").alias("text"))
+
+
 def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (hash_split): md5-bucket
     partition of the id space — a pure function of the id, invariant to
@@ -1028,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": q_gopher_gate,
         "text_repetition": q_text_repetition,
         "doc_splits": q_doc_splits,
+        "wet_roundtrip": q_wet_roundtrip,
         "rolling_fingerprints": q_rolling_fingerprints,
         "token_shards": q_token_shards,
         "text_fingerprints": q_text_fingerprints,
@@ -1612,6 +1630,20 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(floor(length(replace(text, ' ', '')) * 100
                        / len(string_split(text, ' '))) AS BIGINT)
                   BETWEEN 200 AND 900
+        """,
+        # WET round-trip: the parsed-back record set equals ground truth
+        # (url derivation identical to url_canonical's)
+        "wet_roundtrip": f"""
+            SELECT 'https://'
+                   || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                           ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                || '.example.org'
+                      END
+                   || '/' || source || '/doc' || doc_id
+                   || CASE WHEN {_N_PAGES} > 1 THEN '.pdf' ELSE '.html' END
+                       AS url,
+                   text
+            FROM documents WHERE {_WELL_FORMED}
         """,
         # hash_split replay: same md5 hex-prefix bucket, same ordered
         # threshold chain

@@ -97,6 +97,7 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
 
 def parse_warc_records_with_stats(
     data: bytes,
+    record_types: tuple[bytes, ...] = (b"response",),
 ) -> tuple[list[tuple[str, datetime | None, bytes]], int]:
     """Parse one WARC segment into ([(url, warc_ts, payload_bytes)], n_skipped).
 
@@ -138,18 +139,24 @@ def parse_warc_records_with_stats(
         # records are separated by two CRLFs
         while data[pos : pos + 2] == CRLF:
             pos += 2
-        if headers.get(b"warc-type") != b"response":
+        rtype = headers.get(b"warc-type")
+        if rtype not in record_types:
             continue
-        # body = HTTP response: status line + headers + CRLFCRLF + payload
-        http_end = body.find(RECORD_SEP)
-        if http_end < 0:
-            continue
-        # status code is the second token of the status line — substring
-        # matching would accept e.g. 'HTTP/1.1 404 see 200 page'
-        status_parts = body[: body.find(CRLF)].split(b" ")
-        if len(status_parts) < 2 or status_parts[1] != b"200":
-            continue
-        payload = body[http_end + len(RECORD_SEP) :]
+        if rtype == b"response":
+            # body = HTTP response: status line + headers + CRLFCRLF + payload
+            http_end = body.find(RECORD_SEP)
+            if http_end < 0:
+                continue
+            # status code is the second token of the status line — substring
+            # matching would accept e.g. 'HTTP/1.1 404 see 200 page'
+            status_parts = body[: body.find(CRLF)].split(b" ")
+            if len(status_parts) < 2 or status_parts[1] != b"200":
+                continue
+            payload = body[http_end + len(RECORD_SEP) :]
+        else:
+            # conversion (WET) / resource records carry the payload directly,
+            # no HTTP envelope
+            payload = body
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         ts = None
         raw_ts = headers.get(b"warc-date")
@@ -172,23 +179,88 @@ def parse_warc_records(
     return parse_warc_records_with_stats(data)[0]
 
 
-def pages_from_warc(segments: DataFrame, content_col: str = "content") -> DataFrame:
+def pages_from_warc(
+    segments: DataFrame,
+    content_col: str = "content",
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
     """DataFrame of raw WARC segment bytes → pages(url, warc_ts, html).
 
     Input shape matches `spark.read.format("binaryFile")` (a `content`
     binary column); one Arrow pass per batch of segments, 1→N explode.
+    ``record_types=("conversion",)`` reads WET (extracted-text) segments —
+    the payload is then the utf-8 text bytes.
     """
+    accept = tuple(t.encode() for t in record_types)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for data in pdf[content_col]:
-                for url, ts, payload in parse_warc_records(bytes(data)):
+                for url, ts, payload in parse_warc_records_with_stats(
+                    bytes(data), record_types=accept
+                )[0]:
                     rows.append({"url": url, "warc_ts": ts, "html": payload})
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return segments.select(content_col).mapInPandas(
         _batches, schema=PAGES_FROM_WARC_SCHEMA
+    )
+
+
+WET_EPOCH_TS = "2024-01-01T00:00:00Z"  # fixed conversion timestamp: WET
+# output must be a pure function of the extracted text, never of run time
+
+
+def build_wet_segment(records: list[tuple[str, str]]) -> bytes:
+    """(url, extracted_text) pairs → a WET segment (WARC *conversion*
+    records — Common Crawl's extracted-text distribution format): the sink
+    a web-extraction pipeline ships alongside parquet so downstream WET
+    consumers can switch without re-extraction. Deterministic: fixed
+    conversion timestamp, byte-exact Content-Length framing, so the
+    segment round-trips through :func:`parse_warc_records_with_stats`
+    (``record_types=(b"conversion",)``) byte-identically."""
+    parts = []
+    for url, text in records:
+        payload = text.encode("utf-8")
+        parts.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {WET_EPOCH_TS}\r\n".encode()
+            + b"Content-Type: text/plain\r\n"
+            + f"Content-Length: {len(payload)}".encode()
+            + RECORD_SEP
+            + payload
+            + RECORD_SEP
+        )
+    return b"".join(parts)
+
+
+def wet_from_results(
+    results: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Extraction results → WET segments, one segment per Arrow batch
+    (N→1, the inverse of the 1→N segment explode): (segment binary,
+    n_records). Which rows share a segment depends on partitioning — the
+    RECORD SET parsed back is partitioning-invariant and oracle-checked
+    (driver query ``wet_roundtrip``); segment boundaries, like any
+    distributed file-cut, are not a semantic surface."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seg = build_wet_segment(
+                list(zip(pdf[url_col], pdf[text_col]))
+            )
+            yield pd.DataFrame(
+                [{"segment": seg, "n_records": len(pdf)}],
+                columns=["segment", "n_records"],
+            )
+
+    return results.select(url_col, text_col).mapInPandas(
+        _batches, schema="segment binary, n_records long"
     )
 
 

@@ -175,3 +175,36 @@ def test_corrupt_gzip_member_resyncs_and_counts():
     urls = [u for u, _, _ in records]
     assert docs[0][0] in urls and docs[2][0] in urls
     assert n_skipped >= 1
+
+
+def test_wet_segment_roundtrip():
+    from ocr_project_spark.sources.warc import (
+        build_wet_segment,
+        parse_warc_records_with_stats,
+    )
+
+    recs = [
+        ("https://a.example.org/x.html", "hello world"),
+        ("https://b.example.org/y.html", "text with\r\nWARC/ inside"),
+        ("https://c.example.org/z.html", ""),
+    ]
+    seg = build_wet_segment(recs)
+    # response-mode parse must skip conversion records entirely
+    assert parse_warc_records_with_stats(seg)[0] == []
+    back, skipped = parse_warc_records_with_stats(seg, record_types=(b"conversion",))
+    assert skipped == 0
+    assert [(u, p.decode()) for u, _, p in back] == recs
+
+
+def test_wet_sink_spark_roundtrip(spark):
+    """extraction results → WET segments → parse back: the (url, text) set
+    survives byte-identically regardless of batch boundaries."""
+    from ocr_project_spark.sources.warc import pages_from_warc, wet_from_results
+
+    rows = [(f"https://h{i}.example.org/d{i}", f"text number {i} alpha beta") for i in range(97)]
+    res = spark.createDataFrame(rows, "url string, text string").repartition(7)
+    segs = wet_from_results(res)
+    assert segs.agg({"n_records": "sum"}).collect()[0][0] == 97
+    back = pages_from_warc(segs, content_col="segment", record_types=("conversion",))
+    got = {(r["url"], bytes(r["html"]).decode()) for r in back.collect()}
+    assert got == set(rows)
