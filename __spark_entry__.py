@@ -949,6 +949,17 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_percentiles(_docs(spark, sf_dir))
 
 
+def q_host_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (anti-SEO-spam downsampling): at most 5 urls
+    per host, selected deterministically by md5(url) order — replayed
+    rank-exactly by the oracle."""
+    from ocr_project_spark.operators.skew import cap_per_host
+
+    return cap_per_host(
+        _pages(spark, sf_dir).select("url"), max_per_host=5
+    ).select("url", "host")
+
+
 def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full WET sink round-trip: extraction successes → WARC conversion
     (WET) segments, one per Arrow batch → parsed back through the WARC
@@ -1046,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "doc_splits": q_doc_splits,
         "wet_roundtrip": q_wet_roundtrip,
+        "host_caps": q_host_caps,
         "rolling_fingerprints": q_rolling_fingerprints,
         "token_shards": q_token_shards,
         "text_fingerprints": q_text_fingerprints,
@@ -1630,6 +1642,33 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(floor(length(replace(text, ' ', '')) * 100
                        / len(string_split(text, ' '))) AS BIGINT)
                   BETWEEN 200 AND 900
+        """,
+        # cap_per_host replay: identical url derivation + identical
+        # deterministic (md5(url), url) rank order
+        "host_caps": f"""
+            WITH u AS (
+                SELECT CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                            ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                 || '.example.org'
+                       END AS host,
+                       'https://'
+                       || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                               ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                    || '.example.org'
+                          END
+                       || '/' || source || '/doc' || doc_id
+                       || CASE WHEN {_N_PAGES} > 1 THEN '.pdf' ELSE '.html' END
+                           AS url
+                FROM documents
+            ),
+            r AS (
+                SELECT url, host,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY md5(url), url
+                       ) AS rn
+                FROM u
+            )
+            SELECT url, host FROM r WHERE rn <= 5
         """,
         # WET round-trip: the parsed-back record set equals ground truth
         # (url derivation identical to url_canonical's)

@@ -180,6 +180,36 @@ def host_politeness(
     )
 
 
+def cap_per_host(
+    df: DataFrame, max_per_host: int = 100, url_col: str = "url"
+) -> DataFrame:
+    """Per-host document cap: keep at most ``max_per_host`` urls per host,
+    chosen deterministically by md5(url) order — the anti-SEO-spam
+    downsampling a webtext corpus applies so no single domain dominates
+    training data. The selection is a pure function of the url set (no
+    ``sample``, no row-order dependence), so re-runs and repartitions keep
+    identical documents and a SQL oracle replays the cut exactly.
+
+    Shape: one window over (host) ordered by the hash — the shuffle key is
+    host, so a mega-host concentrates on one reducer; AQE's skew handling
+    splits the sort, and the window itself is rank-only (no payload
+    aggregation). For 10^12-row corpora with million-page hosts, the
+    constant-memory alternative is threshold sampling — keep urls whose
+    md5 bucket < cap/host_count using :func:`salted_host_counts` — at the
+    price of an approximate (binomial) cap; this exact operator is the
+    default because training-data caps are usually small (10²–10³) and
+    the rank window early-outs per group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.md5(F.col(url_col)), F.col(url_col))
+    return (
+        with_host(df, url_col)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= max_per_host)
+        .drop("__rank")
+    )
+
+
 def salted_host_counts(
     df: DataFrame,
     url_col: str = "url",

@@ -173,3 +173,15 @@ def test_hot_hosts_is_lazy_one_pass(spark):
         "h2.example.org",
     }
     assert hot_hosts(df, threshold=0.5).collect() == []
+
+
+def test_cap_per_host_deterministic(spark):
+    from ocr_project_spark.operators.skew import cap_per_host
+
+    rows = [(f"https://h{i % 3}.example.org/p{i}",) for i in range(90)]
+    df = spark.createDataFrame(rows, "url string")
+    a = {r["url"] for r in cap_per_host(df, max_per_host=5).collect()}
+    b = {r["url"] for r in cap_per_host(df.repartition(13), max_per_host=5).collect()}
+    assert a == b and len(a) == 15  # 3 hosts × 5
+    # cap larger than any host's count keeps everything
+    assert cap_per_host(df, max_per_host=40).count() == 90
