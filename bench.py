@@ -136,6 +136,7 @@ def main() -> None:
     from ocr_project_spark.datagen import synthesize_pages
     from ocr_project_spark.dedup import (
         exact_dup_groups,
+        minhash_dedup_keep,
         minhash_near_dup_pairs,
         repeated_ngram_spans,
         simhash_near_dup_pairs,
@@ -223,6 +224,13 @@ def main() -> None:
         "dedup_simhash",
         lambda: simhash_near_dup_pairs(docs, max_hamming=3).count(),
         repeats=3,
+    )
+    # the round-3 flagship training-data op: LSH pairs → connected
+    # components → min-id keep-list (several chained jobs + the iterative
+    # star rounds, so best-of-2 like the other multi-stage ops)
+    timed(
+        "dedup_cluster_keep",
+        lambda: minhash_dedup_keep(docs, threshold=0.8).count(),
     )
     queries_emb = emb.where("vec_id < 10")
     timed("sim_brute", lambda: brute_force_topk(emb, queries_emb, k=5).count())
