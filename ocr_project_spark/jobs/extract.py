@@ -36,6 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--master", default=None)
     p.add_argument(
+        "--wet",
+        help="also publish the extracted text as WET segments (WARC "
+        "conversion records, Common Crawl's extracted-text format) to "
+        "this path — one parquet row per segment",
+    )
+    p.add_argument(
         "--circuit-breaker",
         action="store_true",
         help="replay the prior run's lineage through the R3 health state "
@@ -79,6 +85,15 @@ def main(argv=None, spark=None) -> None:
             num_partitions=args.num_partitions,
             circuit_breaker=args.circuit_breaker,
         )
+        if args.wet:
+            from ocr_project_spark.sources.warc import wet_from_results
+
+            successes = (
+                spark.read.parquet(args.results)
+                .where("success")
+                .select("url", "text")
+            )
+            wet_from_results(successes).write.mode("overwrite").parquet(args.wet)
     finally:
         if owns_session:
             spark.stop()

@@ -164,3 +164,25 @@ def test_dedup_cli_max_bucket_logs_drops(spark, tmp_path, capsys):
     # capped LSH can't see the boiler class, so it survives as singletons —
     # the CLI's documented posture is: run --method exact first
     assert 90 in keep
+
+
+def test_extract_cli_wet_output(spark, tmp_path):
+    """--wet publishes the extracted text as parseable WET segments whose
+    record set round-trips to the results."""
+    from ocr_project_spark.jobs.extract import main as extract_main
+    from ocr_project_spark.sources.warc import pages_from_warc
+
+    res, lin, wet = (str(tmp_path / d) for d in ("r", "l", "w"))
+    extract_main(
+        ["--synthesize-sf-dir", "/root/testdata/sf0.001",
+         "--results", res, "--lineage", lin, "--wet", wet],
+        spark=spark,
+    )
+    segs = spark.read.parquet(wet)
+    back = pages_from_warc(segs, content_col="segment", record_types=("conversion",))
+    ok = spark.read.parquet(res).where("success")
+    assert back.count() == ok.count() == 494
+    joined = back.join(
+        ok.select("url", ok.text.alias("truth")), "url"
+    ).where("decode(html, 'UTF-8') = truth")
+    assert joined.count() == 494
