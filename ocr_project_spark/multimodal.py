@@ -728,6 +728,8 @@ def _sampled_frame_indices(
 ) -> list[int]:
     """Frame indices at t = 0, every_ms, 2·every_ms, … (deduplicated,
     clipped to the stream): idx = floor(t · fps / 1000)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
     num, den = fps
     out: list[int] = []
     k = 0

@@ -313,6 +313,10 @@ def hash_split(
     remainder falls into the last split). Output: (doc_id, bucket, split).
     """
     splits = splits or {"train": 9_800, "val": 100, "test": 100}
+    if sum(splits.values()) > buckets:
+        raise ValueError(
+            f"split weights sum to {sum(splits.values())} > {buckets} buckets"
+        )
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
         .cast("long")

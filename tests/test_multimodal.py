@@ -521,3 +521,10 @@ def test_frame_pixel_stats_matches_planted_formula(spark):
         seen.add((i, t))
     for i in range(0, 30, 3):
         assert sum(1 for a, _ in seen if a == i) == 2 + i % 4
+
+
+def test_frame_sampling_rejects_nonpositive_interval():
+    from ocr_project_spark.multimodal import _sampled_frame_indices
+
+    with pytest.raises(ValueError, match="positive"):
+        _sampled_frame_indices(10, (30, 1), 0)

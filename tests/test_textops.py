@@ -269,3 +269,13 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     c = {r["doc_id"]: r["split"] for r in hash_split(
         docs, splits={"a": 5000, "b": 5000}).collect()}
     assert set(c.values()) == {"a", "b"}
+
+
+def test_hash_split_rejects_oversubscribed_weights(spark):
+    import pytest as _pytest
+
+    from ocr_project_spark.textops import hash_split
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError, match="buckets"):
+        hash_split(docs, splits={"a": 9000, "b": 2000})
