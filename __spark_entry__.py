@@ -18,7 +18,12 @@ dedup_simhash and the ANN queries (lsh/ivf) run over corpora with planted
 exact copies, whose co-location in every bucket/cell is a mathematical
 property of the index (identical input ⇒ identical hash), making the
 expected answer exact SQL; corpus_percentiles is exact because the GK
-sketch is exact below its accuracy bound.
+sketch is exact below its accuracy bound. The round-3 cluster queries
+(dedup_minhash_keep / dedup_minhash_clusters) replay connected components
+with a recursive-CTE transitive closure over the exact-jaccard pair set;
+media_png / media_y4m predict the REAL PNG/Y4M decodes from planted pixel
+formulas; wet_roundtrip closes the loop extraction → WET sink → WARC
+parse against ground truth, byte-for-byte.
 """
 
 from __future__ import annotations
