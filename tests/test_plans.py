@@ -145,3 +145,35 @@ def test_bucketed_resume_antijoin_skips_done_side_shuffle(spark, pages):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_span_removal_no_cartesian_and_partial_aggs(spark, documents):
+    """PLANS §6: span removal's only wide ops are partial-agg groupBys and
+    key joins — never a cartesian product; payloads never shuffle."""
+    from ocr_project_spark.dedup import remove_repeated_spans
+
+    plan = plan_of(remove_repeated_spans(documents))
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_token_shards_offsets_join_is_broadcast(spark, documents):
+    """PLANS §6: the per-bucket offset map joins back as a tiny broadcast
+    hash join, never an O(n_buckets) when-chain."""
+    from ocr_project_spark.textops import shard_by_token_budget
+
+    plan = plan_of(shard_by_token_budget(documents))
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CASE WHEN (__part" not in plan
+
+
+def test_cap_per_host_single_host_exchange(spark):
+    """cap_per_host shuffles once, on host, for the rank window."""
+    from ocr_project_spark.operators.skew import cap_per_host
+
+    rows = [(f"https://h{i % 3}.example.org/p{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string")
+    plan = plan_of(cap_per_host(df, max_per_host=2))
+    assert n_nodes(plan, "Exchange") <= 2  # round-robin source + host hash
+    assert n_nodes(plan, "Window") == 1
