@@ -138,3 +138,44 @@ def test_host_totals_stateful_stream(spark, pages, tmp_path):
         for r in with_host(pages).groupBy("host").count().collect()
     }
     assert got == expected
+
+
+def test_near_dup_stream_cross_batch(spark, tmp_path):
+    """Incremental near-dup: a copy arriving in a LATER micro-batch must
+    pair with its original from an earlier batch via the accumulated band
+    index, without re-banding old documents."""
+    from ocr_project_spark.streaming.incremental import near_dup_stream
+
+    inp = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    far = " ".join(f"other{i}" for i in range(60))
+    near = "edited " + " ".join(f"tok{i}" for i in range(1, 60))
+
+    # batch 1: two exact copies (1, 2) + an unrelated doc (9)
+    spark.createDataFrame(
+        [(1, base, "en"), (2, base, "en"), (9, far, "en")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q = near_dup_stream(spark, inp, idx, pairs_out, ckpt)
+    q.awaitTermination(120)
+    got1 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_out).collect()}
+    assert got1 == {(1, 2)}
+
+    # batch 2: a near-dup of doc 1 arrives hours later
+    spark.createDataFrame(
+        [(101, near, "en")], "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q = near_dup_stream(spark, inp, idx, pairs_out, ckpt)
+    q.awaitTermination(120)
+    got2 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_out).collect()}
+    assert (1, 101) in got2 and (2, 101) in got2
+    assert (9, 101) not in got2
+    # re-running with nothing new emits nothing (checkpoint exactly-once)
+    q = near_dup_stream(spark, inp, idx, pairs_out, ckpt)
+    q.awaitTermination(120)
+    got3 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_out).collect()}
+    assert got3 == got2
