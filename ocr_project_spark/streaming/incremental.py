@@ -184,7 +184,10 @@ def near_dup_stream(
     Verification uses exact Jaccard over the xxhash64 shingle-hash ARRAYS
     (persisting the hashes instead of the shingle strings keeps the index
     ~10× smaller; a 64-bit hash collision inflating a Jaccard is ~2⁻⁶⁴ —
-    negligible against the 0.8 threshold). Returns the StreamingQuery.
+    negligible against the 0.8 threshold). Delivery is foreachBatch's
+    at-least-once: a mid-sink crash replays the batch, so the emitted
+    ``batch_id`` column is the downstream dedup key (pairs themselves are
+    idempotent values). Returns the StreamingQuery.
     """
     import os
 
