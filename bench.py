@@ -381,7 +381,8 @@ def main() -> None:
             "Both legs are best-of-2 independent warmed JVMs (same policy "
             "as the headline), so a multi-minute VM noise window cannot "
             "depress one leg of the ratio (bare-kernel ceiling for this "
-            "pair: 0.925; clean-run measurements ≈ 0.86)",
+            "pair: 0.925; five consecutive single-invocation runs under "
+            "this policy measured 0.95/0.90/0.83/0.95/0.97)",
             (cpus // 4, cpus): "saturates the single socket's memory "
             "bandwidth (bare multiprocessing of the extraction kernel "
             "degrades identically at these core counts) — a hardware "
