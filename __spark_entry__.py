@@ -1523,7 +1523,9 @@ def oracle_sql() -> dict[str, str]:
         # media_png: the engine inflates + unfilters real PNG bytes; the
         # oracle predicts the decode output from the planted-pixel formula
         # (see multimodal.synthesize_png_media). Static series bounds match
-        # the synthesis ranges (w ≤ 63, h ≤ 47).
+        # the synthesis ranges (w ≤ 63, h ≤ 47). Ids with id % 31 = 7 carry
+        # a structurally valid PNG whose IDAT stream is truncated — the
+        # decoder must turn those into `corrupt` rows, never dead batches.
         "media_png": """
             WITH ids AS (
                 SELECT doc_id AS media_id,
@@ -1544,11 +1546,15 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY i.media_id
             )
             SELECT i.media_id,
-                   CAST(i.w AS BIGINT) AS width,
-                   CAST(i.h AS BIGINT) AS height,
-                   CAST(CASE WHEN i.media_id % 2 = 0 THEN 3 * s.s1 ELSE s.s3 END
+                   CAST(CASE WHEN i.media_id % 31 = 7 THEN 0 ELSE i.w END
+                        AS BIGINT) AS width,
+                   CAST(CASE WHEN i.media_id % 31 = 7 THEN 0 ELSE i.h END
+                        AS BIGINT) AS height,
+                   CAST(CASE WHEN i.media_id % 31 = 7 THEN 0
+                             WHEN i.media_id % 2 = 0 THEN 3 * s.s1
+                             ELSE s.s3 END
                         AS BIGINT) AS pixel_sum,
-                   FALSE AS corrupt
+                   i.media_id % 31 = 7 AS corrupt
             FROM ids i JOIN sums s USING (media_id)
         """,
         # media_y4m: the engine walks real Y4M containers; the oracle

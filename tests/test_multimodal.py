@@ -391,6 +391,122 @@ def test_image_pixel_stats_strict_and_corrupt(spark):
     assert rows[2]["corrupt"] and rows[3]["corrupt"]
 
 
+def test_png_corrupt_idat_is_valueerror_not_batch_death():
+    """A structurally valid PNG with a corrupt/truncated IDAT stream must
+    raise ValueError from decode_png (NOT zlib.error/struct.error/IndexError,
+    which would kill the whole Arrow batch in image_pixel_stats)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ocr_project_spark.multimodal import (
+        PNG_MAGIC,
+        corrupt_png_idat,
+        decode_png,
+        encode_png,
+    )
+
+    img = _gradient_rgb(9, 11)
+    good = encode_png(img, filter_type=4)
+
+    # truncated deflate stream, intact chunk framing
+    with pytest.raises(ValueError, match="corrupt PNG compressed stream"):
+        decode_png(corrupt_png_idat(good))
+
+    # flipped byte inside the IDAT body (adler32 mismatch or bad deflate)
+    flipped = bytearray(good)
+    idat_off = good.index(b"IDAT") + 8
+    flipped[idat_off] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    # short IHDR → ValueError, not struct.error
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", b"\x00\x00\x00\x05")
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="short IHDR"):
+        decode_png(png)
+
+    # palette index beyond a short PLTE → ValueError, not IndexError
+    import numpy as np
+
+    idx = np.full((3, 4), 9, dtype=np.uint8)  # index 9, palette holds 4
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(range(12)))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+
+
+def test_png_corrupt_idat_yields_corrupt_row(spark):
+    """End-to-end: the corrupt-IDAT payload flows through image_pixel_stats
+    as a corrupt row while its batch-mates decode normally."""
+    import numpy as np
+
+    from ocr_project_spark.multimodal import (
+        corrupt_png_idat,
+        encode_png,
+        image_pixel_stats,
+    )
+
+    img = _gradient_rgb(9, 11)
+    good = encode_png(img, filter_type=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt_png_idat(good)))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in image_pixel_stats(media, decode="strict").collect()
+    }
+    assert not rows[1]["corrupt"]
+    assert rows[1]["pixel_sum"] == int(img.astype(np.int64).sum())
+    assert rows[2]["corrupt"] and rows[2]["pixel_sum"] == 0
+
+
+def test_png_paeth_decode_throughput():
+    """The documented decode budget for the worst-case filter: a 1024×1024
+    RGB all-Paeth PNG (3 MB of pixel data, the sequential-scan path) must
+    decode well under 10 s — the tight scalar scan does it in ~1 s; the old
+    per-element numpy loop took >10× that."""
+    import time
+
+    import numpy as np
+
+    from ocr_project_spark.multimodal import decode_png, encode_png
+
+    rng_free = (
+        np.arange(1024, dtype=np.int64)[:, None] * 7
+        + np.arange(1024, dtype=np.int64)[None, :] * 13
+    )
+    img = (
+        (rng_free[:, :, None] + 85 * np.arange(3)[None, None, :]) % 256
+    ).astype(np.uint8)
+    payload = encode_png(img, filter_type=4)
+    t0 = time.monotonic()
+    out = decode_png(payload)
+    elapsed = time.monotonic() - t0
+    assert np.array_equal(out, img)
+    assert elapsed < 10.0, f"Paeth decode took {elapsed:.1f}s for 3 MB of pixels"
+
+
 def test_synthesize_png_media_sql_contract(spark):
     """The planted-PNG contract the driver oracle replays: width, height
     and pixel_sum are the documented pure functions of the id."""
@@ -398,14 +514,24 @@ def test_synthesize_png_media_sql_contract(spark):
 
     from ocr_project_spark.multimodal import image_pixel_stats, synthesize_png_media
 
-    ids = spark.createDataFrame([(i,) for i in range(0, 40, 3)], "doc_id long")
+    the_ids = list(range(0, 40, 3)) + [7, 38]  # 7, 38 ≡ 7 (mod 31) → corrupt
+    ids = spark.createDataFrame([(i,) for i in the_ids], "doc_id long")
     out = {
         r["media_id"]: r
         for r in image_pixel_stats(
             synthesize_png_media(ids), decode="strict"
         ).collect()
     }
-    for i in range(0, 40, 3):
+    for i in the_ids:
+        r = out[i]
+        if i % 31 == 7:
+            assert (r["width"], r["height"], r["pixel_sum"], r["corrupt"]) == (
+                0,
+                0,
+                0,
+                True,
+            )
+            continue
         w, h = 16 + i % 48, 12 + (i // 7) % 36
         base = i + np.arange(w)[None, :] + 2 * np.arange(h)[:, None]
         if i % 2 == 0:
@@ -414,7 +540,6 @@ def test_synthesize_png_media_sql_contract(spark):
             expect = int(
                 ((base[:, :, None] + 85 * np.arange(3)[None, None, :]) % 256).sum()
             )
-        r = out[i]
         assert (r["width"], r["height"], r["pixel_sum"], r["corrupt"]) == (
             w,
             h,
