@@ -140,16 +140,32 @@ def test_host_totals_stateful_stream(spark, pages, tmp_path):
     assert got == expected
 
 
+def _drop_index_tables(spark, prefix: str) -> None:
+    """Drop the near-dup index tables AND any orphan warehouse directories
+    a previously crashed run left behind (the test session's catalog is
+    in-memory, so DROP TABLE alone cannot see cross-run leftovers)."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    for t in (f"{prefix}_bands", f"{prefix}_hashes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
 def test_near_dup_stream_cross_batch(spark, tmp_path):
     """Incremental near-dup: a copy arriving in a LATER micro-batch must
     pair with its original from an earlier batch via the accumulated band
-    index, without re-banding old documents."""
+    index, without re-banding old documents. The index lives in bucketed
+    catalog tables probed through the session catalog (portable to
+    HDFS/S3 — never a driver-local os.path check)."""
     from ocr_project_spark.streaming.incremental import near_dup_stream
 
     inp = str(tmp_path / "docs")
-    idx = str(tmp_path / "index")
     pairs_out = str(tmp_path / "pairs")
     ckpt = str(tmp_path / "ckpt")
+    idx = "nd_idx_cross"
+    _drop_index_tables(spark, idx)
 
     base = " ".join(f"tok{i}" for i in range(60))
     far = " ".join(f"other{i}" for i in range(60))
@@ -179,3 +195,133 @@ def test_near_dup_stream_cross_batch(spark, tmp_path):
     q.awaitTermination(120)
     got3 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_out).collect()}
     assert got3 == got2
+    _drop_index_tables(spark, idx)
+
+
+def test_near_dup_index_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch replay (at-least-once) must NOT double-append the
+    batch's rows into the index: each batch writes its own batch_id
+    partition with dynamic partition overwrite, so re-landing the same
+    batch leaves the index byte-identical."""
+    from ocr_project_spark.streaming.incremental import (
+        _BANDS_COLS,
+        _BANDS_KEYS,
+        _write_index_partition,
+    )
+    from ocr_project_spark.dedup import hashed_shingles, minhash_band_rows_from_hashes
+    from pyspark.sql import functions as F
+
+    idx = "nd_idx_replay"
+    _drop_index_tables(spark, idx)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20)), "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    banded = minhash_band_rows_from_hashes(hashed_shingles(docs, 3), 64, 16)
+    rows = banded.withColumn("batch_id", F.lit(0).cast("long")).select(*_BANDS_COLS)
+    _write_index_partition(rows, f"{idx}_bands", _BANDS_KEYS, buckets=4)
+    n1 = spark.table(f"{idx}_bands").count()
+    _write_index_partition(rows, f"{idx}_bands", _BANDS_KEYS, buckets=4)  # replay
+    n2 = spark.table(f"{idx}_bands").count()
+    assert n1 == n2 == 6 * 16
+    _drop_index_tables(spark, idx)
+
+
+def test_near_dup_index_joins_skip_index_exchange(spark, tmp_path):
+    """The verdict contract: the candidate and verify joins must read the
+    bucketed index tables WITHOUT a full-index exchange — only the (small)
+    batch/candidate side shuffles. With broadcast disabled (the at-scale
+    shape), the plan keeps every index FileScan bucketed and exchange-free."""
+    from ocr_project_spark.streaming.incremental import (
+        _BANDS_COLS,
+        _BANDS_KEYS,
+        _HASHES_COLS,
+        _HASHES_KEYS,
+        _write_index_partition,
+        near_dup_index_pairs,
+    )
+    from ocr_project_spark.dedup import hashed_shingles, minhash_band_rows_from_hashes
+    from pyspark.sql import functions as F
+    from tests.test_plans import n_nodes, plan_of
+
+    idx = "nd_idx_plan"
+    _drop_index_tables(spark, idx)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20)), "en") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    hashed = hashed_shingles(docs, 3)
+    banded = minhash_band_rows_from_hashes(hashed, 64, 16)
+    bid = F.lit(0).cast("long")
+    _write_index_partition(
+        banded.withColumn("batch_id", bid).select(*_BANDS_COLS),
+        f"{idx}_bands", _BANDS_KEYS, buckets=4,
+    )
+    _write_index_partition(
+        hashed.withColumn("batch_id", bid).select(*_HASHES_COLS),
+        f"{idx}_hashes", _HASHES_KEYS, buckets=4,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pairs = near_dup_index_pairs(spark, banded, idx, 0.8)
+        plan = plan_of(pairs)
+        # three index scans (bands, hashes×2), all bucketed
+        assert plan.count("Bucketed: true") == 3, plan
+        # exchanges: batch-band side + candidate distinct + candidate side
+        # of each verify join = 4; any 5th would be an index-side shuffle
+        assert n_nodes(plan, "Exchange") <= 4, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+    _drop_index_tables(spark, idx)
+
+
+def test_near_dup_index_compaction_bounds_files(spark, tmp_path):
+    """compact_near_dup_index folds all batch partitions into one
+    generation: row set preserved, batch partitions dropped, and the
+    per-table parquet file count bounded by the bucket count (small-file
+    growth is capped between compactions)."""
+    import glob as globmod
+    import os
+
+    from ocr_project_spark.streaming.incremental import (
+        _BANDS_COLS,
+        _BANDS_KEYS,
+        _write_index_partition,
+        compact_near_dup_index,
+    )
+    from ocr_project_spark.dedup import hashed_shingles, minhash_band_rows_from_hashes
+    from pyspark.sql import functions as F
+
+    idx = "nd_idx_compact"
+    _drop_index_tables(spark, idx)
+    for b in range(5):
+        docs = spark.createDataFrame(
+            [
+                (100 * b + i, " ".join(f"w{b}x{i}y{j}" for j in range(20)), "en")
+                for i in range(4)
+            ],
+            "doc_id long, text string, lang string",
+        )
+        banded = minhash_band_rows_from_hashes(hashed_shingles(docs, 3), 64, 16)
+        _write_index_partition(
+            banded.withColumn("batch_id", F.lit(b).cast("long")).select(*_BANDS_COLS),
+            f"{idx}_bands", _BANDS_KEYS, buckets=4,
+        )
+    before = spark.table(f"{idx}_bands").drop("batch_id").collect()
+    compact_near_dup_index(spark, idx, buckets=4)
+    after_df = spark.table(f"{idx}_bands")
+    after = after_df.drop("batch_id").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # one consolidated generation partition remains
+    assert [r[0] for r in after_df.select("batch_id").distinct().collect()] == [-1]
+    # file count bounded by the bucket count (+ the partition dir structure)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {idx}_bands")
+        .where("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    files = globmod.glob(os.path.join(loc, "**", "*.parquet"), recursive=True)
+    assert 0 < len(files) <= 4, files
+    _drop_index_tables(spark, idx)
