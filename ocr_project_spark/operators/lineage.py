@@ -69,17 +69,29 @@ def circuit_breaker_gate(lineage: DataFrame) -> dict[str, bool]:
     trailing run reaches ``FAILURE_THRESHOLD`` consecutive failed partitions
     trips open (skipped — its next-run rows short-circuit to the
     model-not-loaded shape) and closes again after ``SUCCESS_THRESHOLD``
-    consecutive healthy partitions.
+    consecutive healthy partitions. With the incremental lineage table
+    (one append per run, stamped with a monotone ``run_id``), the replay
+    walks (run_id, part_id) order — so healthy half-open-probe partitions
+    appended by a later breaker-enabled run close the breaker without any
+    manual intervention.
 
     Driver-side by design and bounded: the input is the per-(partition,
     backend) rollup — thousands of rows at 100 TB, never document data —
     and the output is the ``model_loaded`` gate for the next run.
     """
-    rows = lineage.select("backend", "part_id", "n_success", "n_failed").collect()
+    has_run = "run_id" in lineage.columns
+    cols = (["run_id"] if has_run else []) + [
+        "backend",
+        "part_id",
+        "n_success",
+        "n_failed",
+    ]
+    rows = lineage.select(*cols).collect()
     by_backend: dict[str, list] = {}
     for r in rows:
+        key = (r["run_id"], r["part_id"]) if has_run else (r["part_id"],)
         by_backend.setdefault(r["backend"], []).append(
-            (r["part_id"], r["n_success"], r["n_failed"])
+            key + (r["n_success"], r["n_failed"])
         )
     gate: dict[str, bool] = {}
     for backend, parts in by_backend.items():
@@ -87,7 +99,8 @@ def circuit_breaker_gate(lineage: DataFrame) -> dict[str, bool]:
         state_open = False
         consec_fail = 0
         consec_ok = 0
-        for _, n_success, n_failed in parts:
+        for row in parts:
+            n_success, n_failed = row[-2], row[-1]
             if n_success == 0 and n_failed > 0:
                 consec_fail += 1
                 consec_ok = 0

@@ -15,9 +15,21 @@ by exactly one run). Idempotence is covered by tests/test_resume.py.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet directory, or None if it does not exist / is empty.
+
+    Probing by attempting the read (and catching the analysis error) instead
+    of a driver-local ``os.path`` check keeps the resume/lineage machinery
+    portable to HDFS/S3 paths, where the driver's local filesystem knows
+    nothing about the store.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — missing/empty/corrupt dir → cold start
+        return None
 
 
 def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
@@ -26,12 +38,8 @@ def completed_urls(spark: SparkSession, results_path: str) -> DataFrame | None:
     Column pruning matters at scale: only ``url`` is read from the results
     store (check ``ReadSchema`` in the explain output), never the payloads.
     """
-    if not os.path.exists(results_path):
-        return None
-    try:
-        return spark.read.parquet(results_path).select("url")
-    except Exception:  # noqa: BLE001 — empty/corrupt checkpoint dir → cold start
-        return None
+    prior = read_parquet_if_exists(spark, results_path)
+    return None if prior is None else prior.select("url")
 
 
 def latest_capture(

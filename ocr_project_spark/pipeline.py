@@ -14,8 +14,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_project_spark.operators.extract import extract_documents
 from ocr_project_spark.operators.lineage import lineage_rows
-from ocr_project_spark.operators.resume import completed_urls, resume_filter
+from ocr_project_spark.operators.resume import (
+    completed_urls,
+    read_parquet_if_exists,
+    resume_filter,
+)
 from ocr_project_spark.operators.skew import salted_repartition
+
+# Half-open circuit-breaker probe: while a backend's breaker is open, urls
+# with crc32(url) % HALF_OPEN_PROBE_MOD == 0 (a deterministic ~1/16 sample,
+# a pure function of the url — never rand()) still run its kernel each
+# breaker-enabled pass, so recovery evidence can re-enter the lineage and
+# close the breaker without an operator manually disabling it.
+HALF_OPEN_PROBE_MOD = 16
 
 
 def run_extraction(
@@ -30,6 +41,27 @@ def run_extraction(
     return extract_documents(pages, model_loaded=model_loaded)
 
 
+def this_run_results(
+    spark: SparkSession, results_path: str, run_id: int
+) -> DataFrame:
+    """Read back ONLY one run's rows from the results table: the run_id
+    equality predicate pushes into the parquet scan, and every file written
+    by another run is skipped on its row-group statistics (min = max =
+    that run's id) — so the per-run lineage pass costs I/O proportional to
+    the RUN, not to the accumulated 100 TB results table
+    (plan-asserted in tests/test_plans.py)."""
+    return spark.read.parquet(results_path).where(F.col("run_id") == run_id)
+
+
+def _next_run_id(lineage_prior: DataFrame | None) -> int:
+    """Deterministic monotone run counter derived from the (tiny) lineage
+    table — never wall-clock or random (resume determinism)."""
+    if lineage_prior is None or "run_id" not in lineage_prior.columns:
+        return 0
+    prev = lineage_prior.agg(F.max("run_id")).collect()[0][0]
+    return 0 if prev is None else int(prev) + 1
+
+
 def run_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -38,6 +70,7 @@ def run_job(
     num_partitions: int | None = None,
     max_records_per_file: int | None = 500_000,
     circuit_breaker: bool = False,
+    probe_mod: int = HALF_OPEN_PROBE_MOD,
 ) -> None:
     """Resumable batch job: skip completed urls, extract, append results and
     lineage. Crash-and-rerun converges to the same result set (see
@@ -45,23 +78,53 @@ def run_job(
     so the results table stays scan-friendly at 100 TB (no multi-GB files
     from fat partitions, no planner pressure from tiny ones).
 
-    ``circuit_breaker=True`` replays the prior run's lineage through the R3
-    health state machine (operators/lineage.circuit_breaker_gate) and
-    short-circuits any tripped backend's rows to the model-not-loaded shape
-    instead of running its kernel."""
-    model_loaded = None
-    if circuit_breaker and lineage_path:
-        import os
+    Lineage is INCREMENTAL: each run stamps its rows with a monotone
+    ``run_id``, reads back only its own rows (parquet row-group stats skip
+    every other run's files), and APPENDS its per-(partition, backend)
+    lineage — the accumulated results table is never re-scanned, and
+    ``health_rollup`` aggregates the appends (it already partial-aggs).
 
+    ``circuit_breaker=True`` replays the accumulated lineage through the R3
+    health state machine (operators/lineage.circuit_breaker_gate) and
+    short-circuits a tripped backend's rows to the model-not-loaded shape
+    instead of running its kernel — EXCEPT a deterministic ~1/``probe_mod``
+    url sample (the half-open probe), which still runs so the breaker can
+    observe recovery and close itself: probe successes are real results
+    (checkpointed + healthy lineage), probe failures are treated as
+    infrastructure evidence — lineage only, never checkpointed, so the urls
+    retry once the backend recovers."""
+    lineage_prior = (
+        read_parquet_if_exists(spark, lineage_path) if lineage_path else None
+    )
+    model_loaded = None
+    if circuit_breaker and lineage_prior is not None:
         from ocr_project_spark.operators.lineage import circuit_breaker_gate
 
-        if os.path.exists(lineage_path):
-            model_loaded = circuit_breaker_gate(
-                spark.read.parquet(lineage_path)
-            )
+        model_loaded = circuit_breaker_gate(lineage_prior)
+    run_id = _next_run_id(lineage_prior)
     done = completed_urls(spark, results_path)
     todo = resume_filter(pages, done)
-    results = run_extraction(
+
+    from ocr_project_spark.contract import ERR_MODEL_NOT_LOADED
+
+    probe_results = None
+    probe_fail_lineage = None
+    tripped = [b for b, ok in (model_loaded or {}).items() if not ok]
+    parts: list[DataFrame] = []
+    if tripped and probe_mod:
+        is_probe = F.col("backend").isin(tripped) & (
+            F.crc32(F.col("url")) % probe_mod == 0
+        )
+        # the probe set is bounded (~todo/probe_mod of the tripped backend
+        # only), so persisting it for the dual success/failure use is cheap
+        probe_results = run_extraction(
+            todo.where(is_probe), num_partitions=num_partitions
+        ).persist()
+        parts.append(probe_results.where(F.col("success")))
+        probe_fail_lineage = lineage_rows(probe_results.where(~F.col("success")))
+        todo = todo.where(~is_probe)
+
+    rest = run_extraction(
         todo, num_partitions=num_partitions, model_loaded=model_loaded
     )
     # Model-not-loaded is an *infrastructure* condition (breaker open /
@@ -69,18 +132,30 @@ def run_job(
     # row would permanently exclude the url from re-extraction because
     # completed_urls marks every written url done. Skipped rows are simply
     # not appended, so the next run with a healthy backend retries exactly
-    # those urls and the result set converges (tests/test_pipeline.py run-#3
-    # recovery test). Document-level failures (malformed payload, invalid
-    # backend/mode) ARE results and stay checkpointed.
-    from ocr_project_spark.contract import ERR_MODEL_NOT_LOADED
-
-    results = results.where(
+    # those urls and the result set converges (tests/test_pipeline.py
+    # breaker recovery tests). Document-level failures (malformed payload,
+    # invalid backend/mode) ARE results and stay checkpointed.
+    rest = rest.where(
         F.col("error").isNull() | (F.col("error") != F.lit(ERR_MODEL_NOT_LOADED))
     )
-    writer = results.write.mode("append")
-    if max_records_per_file:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(results_path)
-    if lineage_path:
-        written = spark.read.parquet(results_path)
-        lineage_rows(written).write.mode("overwrite").parquet(lineage_path)
+    parts.append(rest)
+    results = parts[0]
+    for extra in parts[1:]:
+        results = results.unionByName(extra)
+    results = results.withColumn("run_id", F.lit(run_id).cast("long"))
+
+    try:
+        writer = results.write.mode("append")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(results_path)
+        if lineage_path:
+            lin = lineage_rows(this_run_results(spark, results_path, run_id))
+            if probe_fail_lineage is not None:
+                lin = lin.unionByName(probe_fail_lineage)
+            lin.withColumn("run_id", F.lit(run_id).cast("long")).write.mode(
+                "append"
+            ).parquet(lineage_path)
+    finally:
+        if probe_results is not None:
+            probe_results.unpersist()

@@ -210,3 +210,123 @@ def test_circuit_breaker_short_circuits_poisoned_backend(spark, tmp_path):
     recovered = final.where("backend = 'mineru'")
     assert recovered.count() == 20
     assert recovered.where("NOT success").count() == 0
+
+
+def _breaker_corpus(spark, id_lo, id_hi, mineru_healthy):
+    from ocr_project_spark.datagen import build_html, build_pagedoc
+
+    rows = []
+    for i in range(id_lo, id_hi):
+        if i % 2 == 0:
+            payload = build_html(i, f"alpha{i} beta{i}", "en").encode()
+            backend = "deepseek-ocr"
+        elif mineru_healthy:
+            payload = build_pagedoc(i, f"alpha{i} beta{i}", "en").encode()
+            backend = "mineru"
+        else:
+            payload = b"PAGEDOC1\n{poisoned"
+            backend = "mineru"
+        rows.append((f"https://s.example.org/d{i}", payload, backend, i))
+    return spark.createDataFrame(
+        rows, "url string, html binary, backend string, doc_id long"
+    ).repartition(4)
+
+
+def test_half_open_probe_recovers_without_disabling_breaker(spark, tmp_path):
+    """ADVICE r3: with the breaker enabled on EVERY run, a tripped backend
+    must still recover by itself — the deterministic half-open url probe
+    keeps running its kernel, probe failures feed the lineage (keeping the
+    breaker open, never checkpointed), and once the backend heals the probe
+    successes append healthy lineage partitions that close the breaker on
+    the next pass. No run ever flips circuit_breaker off."""
+    from ocr_project_spark.pipeline import run_job
+
+    results_path = str(tmp_path / "results")
+    lineage_path = str(tmp_path / "lineage")
+
+    # run 1: mineru poisoned → its lineage partitions all fail and trip the
+    # breaker (these malformed docs ARE results: checkpointed failures)
+    run_job(spark, _breaker_corpus(spark, 0, 40, False), results_path, lineage_path)
+
+    # run 2 (breaker ON, backend still down, new crawl segment): the probe
+    # subset runs and fails → infra evidence only — breaker stays open and
+    # probe failures are NOT checkpointed (the urls stay retryable)
+    run_job(
+        spark,
+        _breaker_corpus(spark, 40, 80, False),
+        results_path,
+        lineage_path,
+        circuit_breaker=True,
+        probe_mod=4,
+    )
+    after2 = spark.read.parquet(results_path).where("doc_id >= 40")
+    assert after2.where("backend = 'mineru'").count() == 0
+    assert after2.where("backend = 'deepseek-ocr' AND success").count() == 20
+
+    # run 3 (breaker ON, backend healed, same urls recrawled healthy): the
+    # probe subset extracts successfully → healthy lineage partitions append
+    run_job(
+        spark,
+        _breaker_corpus(spark, 40, 80, True),
+        results_path,
+        lineage_path,
+        circuit_breaker=True,
+        probe_mod=4,
+    )
+    after3 = spark.read.parquet(results_path).where("doc_id >= 40")
+    n_probe_ok = after3.where("backend = 'mineru' AND success").count()
+    assert 0 < n_probe_ok < 20, n_probe_ok  # the probe sample, not the backlog
+    assert after3.where("backend = 'mineru' AND NOT success").count() == 0
+
+    # run 4 (breaker STILL on): the healthy probe partitions closed the
+    # breaker → the full backlog extracts and the result set converges
+    run_job(
+        spark,
+        _breaker_corpus(spark, 40, 80, True),
+        results_path,
+        lineage_path,
+        circuit_breaker=True,
+        probe_mod=4,
+    )
+    final = spark.read.parquet(results_path).where("doc_id >= 40")
+    assert final.count() == 40
+    assert final.select("url").distinct().count() == 40
+    assert final.where("backend = 'mineru' AND success").count() == 20
+
+
+def test_lineage_is_incremental_appends(spark, tmp_path):
+    """Each run appends ONE run_id worth of lineage computed from its own
+    rows (never a rescan/overwrite of the full results table), and the
+    health rollup over the appended lineage equals the rollup over the
+    whole results table."""
+    from ocr_project_spark.pipeline import run_job
+
+    results_path = str(tmp_path / "results")
+    lineage_path = str(tmp_path / "lineage")
+    run_job(spark, _breaker_corpus(spark, 0, 30, True), results_path, lineage_path)
+    run_job(spark, _breaker_corpus(spark, 0, 60, True), results_path, lineage_path)
+
+    lineage = spark.read.parquet(lineage_path)
+    assert {r[0] for r in lineage.select("run_id").distinct().collect()} == {0, 1}
+    # per-run doc counts: run 0 wrote 30, run 1 the 30 new urls only
+    per_run = {
+        r["run_id"]: r["n"]
+        for r in lineage.groupBy("run_id").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert per_run == {0: 30, 1: 30}
+    # the rollup over appends equals the rollup over the results table
+    rolled = {
+        r["backend"]: (r["n_docs"], r["n_success"])
+        for r in health_rollup(lineage).collect()
+    }
+    results = spark.read.parquet(results_path)
+    truth = {
+        r["backend"]: (r["n"], r["ok"])
+        for r in results.groupBy("backend")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("success").cast("long")).alias("ok"),
+        )
+        .collect()
+    }
+    assert rolled == truth

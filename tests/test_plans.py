@@ -168,6 +168,24 @@ def test_token_shards_offsets_join_is_broadcast(spark, documents):
     assert "CASE WHEN (__part" not in plan
 
 
+def test_lineage_readback_prunes_to_current_run(spark, pages, tmp_path):
+    """The per-run lineage pass reads ONLY the current run's rows: the
+    run_id equality predicate reaches the parquet scan, so files written by
+    prior runs are skipped on their row-group stats — lineage cost is
+    proportional to the run, never the accumulated results table."""
+    from ocr_project_spark.pipeline import run_job, this_run_results
+
+    results_path = str(tmp_path / "results")
+    lineage_path = str(tmp_path / "lineage")
+    run_job(spark, pages.where("doc_id < 100"), results_path, lineage_path)
+    run_job(spark, pages, results_path, lineage_path)
+    rb = this_run_results(spark, results_path, 1)
+    plan = plan_of(rb)
+    assert "EqualTo(run_id,1)" in plan, plan
+    # and the read-back rows really are just the second run's
+    assert rb.count() == pages.count() - 100
+
+
 def test_cap_per_host_single_host_exchange(spark):
     """cap_per_host shuffles once, on host, for the rank window."""
     from ocr_project_spark.operators.skew import cap_per_host
