@@ -181,7 +181,11 @@ def host_politeness(
 
 
 def cap_per_host(
-    df: DataFrame, max_per_host: int = 100, url_col: str = "url"
+    df: DataFrame,
+    max_per_host: int = 100,
+    url_col: str = "url",
+    approximate: bool = False,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> DataFrame:
     """Per-host document cap: keep at most ``max_per_host`` urls per host,
     chosen deterministically by md5(url) order — the anti-SEO-spam
@@ -190,23 +194,45 @@ def cap_per_host(
     ``sample``, no row-order dependence), so re-runs and repartitions keep
     identical documents and a SQL oracle replays the cut exactly.
 
-    Shape: one window over (host) ordered by the hash — the shuffle key is
-    host, so a mega-host concentrates on one reducer; AQE's skew handling
-    splits the sort, and the window itself is rank-only (no payload
-    aggregation). For 10^12-row corpora with million-page hosts, the
-    constant-memory alternative is threshold sampling — keep urls whose
-    md5 bucket < cap/host_count using :func:`salted_host_counts` — at the
-    price of an approximate (binomial) cap; this exact operator is the
-    default because training-data caps are usually small (10²–10³) and
-    the rank window early-outs per group."""
-    from pyspark.sql import Window
+    Exact mode (default): one window over (host) ordered by the hash — the
+    shuffle key is host, so a mega-host concentrates on one reducer; AQE's
+    skew handling splits the sort, and the window itself is rank-only (no
+    payload aggregation). Right for the usual small training caps
+    (10²–10³).
 
-    w = Window.partitionBy("host").orderBy(F.md5(F.col(url_col)), F.col(url_col))
+    ``approximate=True`` is the constant-memory path for 10^12-row corpora
+    with million-page hosts: THRESHOLD SAMPLING — the salted two-stage
+    host counts (never one reducer per host) join back and a url is kept
+    when its md5-derived uniform draw falls below cap/host_count. No
+    host-keyed sort or window anywhere (plan-asserted); each kept set is
+    still a pure function of the url set, at the price of a binomial
+    (±O(√cap)) rather than exact cap. Hosts at or under the cap keep
+    every url in both modes."""
+    hosted = with_host(df, url_col)
+    if not approximate:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host").orderBy(
+            F.md5(F.col(url_col)), F.col(url_col)
+        )
+        return (
+            hosted.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= max_per_host)
+            .drop("__rank")
+        )
+    counts = salted_host_counts(df, url_col, salt_buckets)
+    # uniform draw in [0, 2^32) from the url digest; keep when
+    # draw < 2^32 · cap / n_urls (exact to double precision: cap·2^32 ≪ 2^52)
+    draw = F.conv(F.substring(F.md5(F.col(url_col)), 1, 8), 16, 10).cast("long")
+    threshold = F.floor(
+        F.lit(float(max_per_host) * 2.0**32) / F.col("n_urls")
+    ).cast("long")
     return (
-        with_host(df, url_col)
-        .withColumn("__rank", F.row_number().over(w))
-        .where(F.col("__rank") <= max_per_host)
-        .drop("__rank")
+        hosted.join(counts, "host")
+        .where(
+            (F.col("n_urls") <= max_per_host) | (draw < threshold)
+        )
+        .drop("n_urls")
     )
 
 

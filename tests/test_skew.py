@@ -185,3 +185,48 @@ def test_cap_per_host_deterministic(spark):
     assert a == b and len(a) == 15  # 3 hosts × 5
     # cap larger than any host's count keeps everything
     assert cap_per_host(df, max_per_host=40).count() == 90
+
+
+def test_cap_per_host_approximate_threshold_sampling(spark):
+    """approximate=True (the constant-memory mega-host path): kept counts
+    land within binomial tolerance of the cap, hosts at/under the cap keep
+    everything, and the kept set is a pure function of the url set
+    (repartition-invariant)."""
+    from ocr_project_spark.operators.skew import cap_per_host
+
+    # one mega-host with 2000 urls + one small host under the cap
+    rows = [(f"https://mega.example.org/p{i}",) for i in range(2000)]
+    rows += [(f"https://tiny.example.org/p{i}",) for i in range(7)]
+    df = spark.createDataFrame(rows, "url string")
+    kept = cap_per_host(df, max_per_host=100, approximate=True)
+    by_host = {
+        r["host"]: r["n"]
+        for r in kept.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_host["tiny.example.org"] == 7  # under cap → all kept
+    # binomial: mean 100, σ = √(2000·p·(1−p)) ≈ 9.7 → ±5σ bound
+    assert 50 <= by_host["mega.example.org"] <= 150, by_host
+    # deterministic: repartition changes nothing
+    a = {r["url"] for r in kept.collect()}
+    b = {
+        r["url"]
+        for r in cap_per_host(
+            df.repartition(17), max_per_host=100, approximate=True
+        ).collect()
+    }
+    assert a == b
+
+
+def test_cap_per_host_approximate_no_window_no_host_sort(spark):
+    """Plan contract for the approximate cap: no Window operator and no
+    host-keyed global sort anywhere — the mega-host never funnels into a
+    single reducer (the point of threshold sampling)."""
+    from tests.test_plans import n_nodes, plan_of
+
+    from ocr_project_spark.operators.skew import cap_per_host
+
+    rows = [(f"https://h{i % 3}.example.org/p{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string")
+    plan = plan_of(cap_per_host(df, max_per_host=2, approximate=True))
+    assert n_nodes(plan, "Window") == 0
+    assert "row_number" not in plan
