@@ -444,20 +444,24 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
 def encode_jpeg(
     img: np.ndarray,
     gray: bool = False,
-    subsample: bool = False,
+    subsample: bool | str = False,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 → baseline JPEG bytes (the test-fixture inverse of
     :func:`decode_jpeg`). ``gray`` encodes one component from channel 0;
-    ``subsample`` uses 4:2:0 (dims must then be multiples of 16, else of
-    8). ``quant`` overrides the default exact-on-constant-blocks table."""
+    ``subsample`` takes True/"420" for 4:2:0 (dims multiples of 16) or
+    "422" for 4:2:2 (width multiple of 16), else 4:4:4 with dims multiples
+    of 8. ``quant`` overrides the default exact-on-constant-blocks table."""
     q = _Q_EXACT if quant is None else np.asarray(quant, dtype=np.int64)
+    mode = {True: "420", False: None}.get(subsample, subsample)
     h, w = img.shape[:2]
     if h % 8 or w % 8:
         raise ValueError("fixture encoder requires dims divisible by 8")
-    if subsample and (h % 16 or w % 16):
+    if mode == "420" and (h % 16 or w % 16):
         raise ValueError("4:2:0 fixture encoder requires dims divisible by 16")
+    if mode == "422" and w % 16:
+        raise ValueError("4:2:2 fixture encoder requires width divisible by 16")
 
     def quantize(plane: np.ndarray) -> np.ndarray:
         coefs = fdct_blocks(_blocks_of(plane.astype(np.float64) - 128.0))
@@ -470,11 +474,19 @@ def encode_jpeg(
         y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
         cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
         cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
-        if subsample:
+        if mode == "420":
             cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
             cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
             comps = [
                 (1, 2, 2, quantize(y)),
+                (2, 1, 1, quantize(cb)),
+                (3, 1, 1, quantize(cr)),
+            ]
+        elif mode == "422":
+            cb = cb.reshape(h, w // 2, 2).mean(axis=2)
+            cr = cr.reshape(h, w // 2, 2).mean(axis=2)
+            comps = [
+                (1, 2, 1, quantize(y)),
                 (2, 1, 1, quantize(cb)),
                 (3, 1, 1, quantize(cr)),
             ]

@@ -161,6 +161,13 @@ def test_near_lossless_roundtrips_at_unit_quant():
     ).max()
     assert err_s <= 2, err_s
 
+    # 4:2:2 (horizontal-only chroma subsampling) through the same MCU path
+    err_422 = np.abs(
+        decode_jpeg(encode_jpeg(mono, subsample="422", quant=q1)).astype(int)
+        - mono.astype(int)
+    ).max()
+    assert err_422 <= 2, err_422
+
 
 def test_default_quant_roundtrip_bounded():
     """With the fixture quant table (AC quantizer 16) a sharp sawtooth image
