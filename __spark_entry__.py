@@ -570,15 +570,13 @@ def q_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full exact-dedup ledger (min_copies=1): one row per distinct text
+    over the planted-dup corpus. keeper_id IS the dedup_keep keep-list and
+    n_copies > 1 recovers the duplicate groups — one aggregation, both
+    views driver-verified (registry consolidation, round-4 verdict #1)."""
     from ocr_project_spark.dedup import dedup_test_corpus, exact_dup_groups
 
-    return exact_dup_groups(dedup_test_corpus(_docs(spark, sf_dir)))
-
-
-def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_project_spark.dedup import dedup_keep, dedup_test_corpus
-
-    return dedup_keep(dedup_test_corpus(_docs(spark, sf_dir)))
+    return exact_dup_groups(dedup_test_corpus(_docs(spark, sf_dir)), min_copies=1)
 
 
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,6 +1018,32 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(pages)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the published 13-gram-overlap rule): the
+    eval set is the 20-word prefix of every 13th document (doc_id % 13 = 5)
+    — a pure SQL derivation, so each planted benchmark row contaminates
+    exactly its source document and nothing else. Emits the per-doc
+    contaminated-gram count from contamination_check plus a `kept` flag
+    taken from the REAL decontaminate anti-join, which the oracle
+    cross-checks against NOT contaminated."""
+    from ocr_project_spark.textops import contamination_check, decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_docs = docs.where("doc_id % 13 = 5").select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("bench_text")
+    )
+    chk = contamination_check(docs, eval_docs, n=13, eval_text_col="bench_text")
+    kept = decontaminate(docs, eval_docs, n=13, eval_text_col="bench_text").select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    return chk.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_contaminated_grams",
+        "contaminated",
+        F.coalesce("kept", F.lit(False)).alias("kept"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_rollup(spark, "/root/testdata/sf0.001")
@@ -1034,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "contamination": q_contamination,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "corpus_profile": q_corpus_profile,
@@ -1063,7 +1088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         # --- dedup families ---
         "dedup_exact": q_dedup_exact,
-        "dedup_keep": q_dedup_keep,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
@@ -1381,11 +1405,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DEDUP_CORPUS}
             SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
-            FROM corpus GROUP BY 1 HAVING count(*) > 1
-        """,
-        "dedup_keep": f"""
-            WITH {_DEDUP_CORPUS}
-            SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+            FROM corpus GROUP BY 1
         """,
         "dedup_prefix": f"""
             WITH {_DEDUP_CORPUS}
@@ -1882,5 +1902,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": f"""
             SELECT doc_id, lang AS pred_lang FROM documents WHERE {_WELL_FORMED}
+        """,
+        # 13-gram benchmark-overlap decontamination: the oracle rebuilds the
+        # same eval set (20-word prefix of doc_id % 13 = 5), derives the same
+        # distinct word 13-grams on both sides (short docs yield one
+        # shorter-than-n gram, exactly like shingle_sets), counts per-doc
+        # hits, and cross-checks decontaminate's kept flag = NOT contaminated.
+        "contamination": """
+            WITH ev AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                    generate_series(1,
+                        greatest(len(string_split(bench_text, ' ')) - 12, 1)),
+                    i -> array_to_string(
+                        list_slice(string_split(bench_text, ' '), i, i + 12),
+                        ' ')
+                ))) AS gram
+                FROM (
+                    SELECT array_to_string(
+                               list_slice(string_split(text, ' '), 1, 20), ' ')
+                           AS bench_text
+                    FROM documents WHERE doc_id % 13 = 5
+                )
+            ),
+            dg AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1,
+                        greatest(len(string_split(text, ' ')) - 12, 1)),
+                    i -> array_to_string(
+                        list_slice(string_split(text, ' '), i, i + 12), ' ')
+                ))) AS gram
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n
+                FROM dg JOIN ev USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated,
+                   coalesce(h.n, 0) = 0 AS kept
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
     }

@@ -48,19 +48,26 @@ def dedup_test_corpus(docs: DataFrame) -> DataFrame:
 
 
 def exact_dup_groups(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_copies: int = 2,
 ) -> DataFrame:
-    """Exact-duplicate groups by content hash: one row per duplicated text
-    with the keeper (min id) and the duplicate count. Map-side partial
-    aggregation keeps the shuffle to one row per distinct hash."""
-    return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
-        .agg(
-            F.min(id_col).alias("keeper_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .where(F.col("n_copies") > 1)
+    """Exact-duplicate groups by content hash: one row per distinct text
+    with the keeper (min id) and the copy count, filtered to groups with at
+    least ``min_copies`` members (default: actual duplicate groups only).
+    With ``min_copies=1`` the result is the full dedup ledger — ``keeper_id``
+    is exactly the keep-list :func:`dedup_keep` returns, and ``n_copies > 1``
+    recovers the duplicate groups — one aggregation serving both views.
+    Map-side partial aggregation keeps the shuffle to one row per distinct
+    hash."""
+    grouped = docs.groupBy(F.md5(F.col(text_col)).alias("content_md5")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
+    if min_copies > 1:
+        grouped = grouped.where(F.col("n_copies") >= min_copies)
+    return grouped
 
 
 def dedup_keep(

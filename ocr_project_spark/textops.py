@@ -476,6 +476,77 @@ LANGID_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination signal: for every document, the number of
+    distinct word ``n``-grams it shares with an evaluation/benchmark set —
+    the published n-gram-overlap rule (13-gram in the public LLM training
+    literature) a training corpus applies before any eval is trustworthy.
+    Returns (doc_id, n_contaminated_grams, contaminated).
+
+    100 TB shape: both sides hash their grams to int64 JVM-side (xxhash64
+    inside whole-stage codegen — gram STRINGS never shuffle), the eval side
+    is tiny by nature (benchmarks ≈ 10⁵ grams) and broadcasts, so the
+    corpus-side check is a NARROW scan: the only shuffled rows are the
+    matched (doc_id, gram) hits — ~zero on a clean corpus — for the
+    per-doc count, and the count table broadcasts back onto the corpus.
+    The corpus itself never exchanges (plan-asserted). A 64-bit hash
+    collision flagging a clean gram is ~2⁻⁶⁴ — negligible; collisions can
+    only over-flag, never leak contamination through."""
+    from ocr_project_spark.dedup import shingle_sets
+
+    doc_grams = shingle_sets(docs, n, text_col).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gram_hash"))
+    eval_grams = (
+        shingle_sets(eval_docs, n, eval_text_col, id_col=eval_docs.columns[0])
+        .select(F.explode("shingles").alias("gram"))
+        .select(F.xxhash64("gram").alias("gram_hash"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """The corpus with every benchmark-contaminated document dropped
+    (:func:`contamination_check` > 0) — left-anti against the (small)
+    contaminated-id set, so the corpus shuffles nothing."""
+    bad = contamination_check(docs, eval_docs, n, text_col, eval_text_col)
+    return docs.join(
+        F.broadcast(bad.where("contaminated").select("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+
+
 def lang_id(
     pages: DataFrame,
     payload_col: str = "html",

@@ -279,3 +279,54 @@ def test_hash_split_rejects_oversubscribed_weights(spark):
     docs = spark.range(5).select(F.col("id").alias("doc_id"))
     with _pytest.raises(ValueError, match="buckets"):
         hash_split(docs, splits={"a": 9000, "b": 2000})
+
+
+def test_contamination_check_planted(spark):
+    """Planted overlap: doc 1 shares exactly its 13-gram window with the
+    benchmark, doc 2 shares nothing, doc 3 is a short (<n words) doc whose
+    full text appears verbatim in the eval set (short-gram path)."""
+    from ocr_project_spark.textops import contamination_check, decontaminate
+
+    w = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w)),            # 20 words -> 8 distinct 13-grams
+            (2, " ".join(f"x{i}" for i in range(20))),  # disjoint vocab
+            (3, "tiny doc only"),        # <13 words -> one short gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(" ".join(w[:13]),), ("tiny doc only",)], "text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in contamination_check(docs, eval_docs).collect()
+    }
+    # doc 1: exactly ONE of its 8 grams (positions 1..8) equals the eval
+    # gram w[0..12]; doc 3's single short gram matches the eval short gram
+    assert got == {1: (1, True), 2: (0, False), 3: (1, True)}
+    kept = {r["doc_id"] for r in decontaminate(docs, eval_docs).collect()}
+    assert kept == {2}
+
+
+def test_contamination_corpus_never_shuffles(spark):
+    """Plan contract: both joins against the (small) eval/hit sides are
+    broadcast — the corpus rows themselves never exchange; the only
+    aggregation exchange carries matched (doc_id, gram) hits."""
+    from tests.test_plans import n_nodes, plan_of
+
+    from ocr_project_spark.textops import contamination_check
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("a"), F.col("id").cast("string")).alias("text"),
+    )
+    ev = spark.range(5).select(F.concat_ws(
+        " ", F.lit("a"), F.col("id").cast("string")).alias("text"))
+    plan = plan_of(contamination_check(docs, ev))
+    assert n_nodes(plan, "BroadcastHashJoin") == 2
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    # one hash-agg exchange for the per-doc hit count, plus the two
+    # broadcast exchanges of the tiny sides -- nothing else
+    assert n_nodes(plan, "Exchange") <= 1
