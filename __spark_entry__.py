@@ -395,22 +395,19 @@ def q_locate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lineage_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R5 health rollup over per-partition lineage rows."""
-    from ocr_project_spark.operators.lineage import health_rollup, lineage_rows
-
-    return health_rollup(lineage_rows(_results(spark, sf_dir)))
-
-
 def q_backend_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R6 backend listing: registry enumeration joined with the health
-    rollup (reference: orchestrator/server.py:383-415 `/backends`)."""
+    """R6 backend listing joined with the FULL R5 health rollup (reference:
+    orchestrator/server.py:383-415 `/backends` + 361-365 health). One query
+    drives registry enumeration, lineage_rows, and every health_rollup
+    column (n_bytes included), so the round-3 `lineage_health` row is
+    subsumed rather than dropped (registry consolidation)."""
     from ocr_project_spark.operators.lineage import backend_listing, lineage_rows
 
     lineage = lineage_rows(_results(spark, sf_dir))
     out = backend_listing(spark, lineage)
     return out.select(
-        "backend", "description", "n_docs", "n_success", "n_failed", "status"
+        "backend", "description", "n_docs", "n_success", "n_failed",
+        "n_bytes", "status",
     )
 
 
@@ -907,29 +904,26 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_project_spark.textops import token_counts
-
-    out = token_counts(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id",
-        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
-        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
-    )
-
-
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality scores (quality_scores) plus the gate verdict
-    (quality_gate membership as a boolean) — one query exercises both the
-    scoring and the filtering operator, with the gate replayed as a CASE
-    over the same integer-scaled features."""
-    from ocr_project_spark.textops import quality_gate, quality_scores
+    (quality_gate membership as a boolean) plus BOTH token counters
+    (token_counts: whitespace + BPE-ish regex) — one query exercises the
+    scoring, filtering, and token-counting operators on the same rows
+    (the round-3 `text_token_counts` row is subsumed, not dropped)."""
+    from ocr_project_spark.textops import quality_gate, quality_scores, token_counts
 
     docs = _docs(spark, sf_dir)
     scores = quality_scores(docs)
     gate = quality_gate(docs).select("doc_id", F.lit(True).alias("passes_gate"))
-    return scores.join(gate, "doc_id", "left").withColumn(
-        "passes_gate", F.coalesce("passes_gate", F.lit(False))
+    toks = token_counts(docs).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+    return (
+        scores.join(gate, "doc_id", "left")
+        .withColumn("passes_gate", F.coalesce("passes_gate", F.lit(False)))
+        .join(toks, "doc_id")
     )
 
 
@@ -1044,6 +1038,51 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (CCNet/RefinedWeb paragraph rule) over a
+    planted multi-line corpus built in pure SQL (documents.text itself is
+    single-line): a boilerplate header shared by ALL docs, a footer shared
+    by each doc_id % 7 cohort, the doc's own (unique) text, and a unique
+    tail. Header+footer must vanish, the two unique lines must survive in
+    order — the oracle replays inventory and byte-exact line surgery."""
+    from ocr_project_spark.dedup import remove_repeated_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Cookie notice: this site uses tracking cookies"),
+            F.col("text"),
+            F.concat(F.lit("Mirror footer "), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("unique-tail-"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return remove_repeated_lines(docs)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a planted corpus (a pure SQL suffix appends one
+    email, one IPv4, and one NANP phone per document) — the oracle replays
+    the same sequential regexp_replace chain and per-pattern counts; the
+    patterns are restricted to constructs where Java regex and RE2 agree."""
+    from ocr_project_spark.textops import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-1234."),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_rollup(spark, "/root/testdata/sf0.001")
@@ -1058,14 +1097,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "pii_redact": q_pii_redact,
+        "dedup_lines": q_dedup_lines,
         "contamination": q_contamination,
+        "backend_listing": q_backend_listing,
+        "text_quality": q_text_quality,
+        "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "corpus_profile": q_corpus_profile,
         "media_jpeg": q_media_jpeg,
         "media_png": q_media_png,
         "host_profile": q_host_profile,
-        "text_quality": q_text_quality,
         "host_crawl_plan": q_host_crawl_plan,
         # --- byte-identity core ---
         "flagship_rollup": q_flagship_rollup,
@@ -1078,8 +1121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified_fields": q_unified_fields,
         "prompt_modes": q_prompt_modes,
         "locate_spans": q_locate_spans,
-        "lineage_health": q_lineage_health,
-        "backend_listing": q_backend_listing,
         "url_canonical": q_url_canonical,
         "latest_capture": q_latest_capture,
         "warc_extract": q_warc_extract,
@@ -1087,7 +1128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backend_compare": q_backend_compare,
         "wet_roundtrip": q_wet_roundtrip,
         # --- dedup families ---
-        "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
@@ -1108,7 +1148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_y4m": q_media_y4m,
         "media_audio": q_media_audio,
         # --- text analysis ---
-        "text_token_counts": q_text_token_counts,
         "gopher_gate": q_gopher_gate,
         "text_repetition": q_text_repetition,
         "doc_splits": q_doc_splits,
@@ -1292,12 +1331,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE array_to_string(list_slice(words, j * 8 + 1, j * 8 + 8), ' ')
                   = array_to_string(list_slice(words, 1, 8), ' ')
         """,
-        "lineage_health": f"""
-            WITH {_LINEAGE_CTE}
-            SELECT backend, n_docs, n_success, n_failed, n_bytes,
-                   {_STATUS_CASE} AS status
-            FROM l
-        """,
         "backend_listing": f"""
             WITH {_LINEAGE_CTE}
             SELECT backend,
@@ -1305,7 +1338,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'DeepSeek-OCR-analog lifecycle (reference: deepseek_ocr_backend.py).'
                         ELSE 'MinerU-analog lifecycle (reference: mineru_backend.py).'
                    END AS description,
-                   n_docs, n_success, n_failed,
+                   n_docs, n_success, n_failed, n_bytes,
                    {_STATUS_CASE} AS status
             FROM l
         """,
@@ -1707,16 +1740,10 @@ def oracle_sql() -> dict[str, str]:
                    hx AS sha256
             FROM h
         """,
-        "text_token_counts": r"""
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_ws_tokens,
-                   len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
-                       AS n_bpe_tokens
-            FROM documents
-        """,
         # text_quality: scores + the gate verdict as a CASE over the same
         # integer-scaled features (quality_scores ∘ quality_gate in one row)
-        "text_quality": """
+        # + the two token counters (subsumes the round-3 text_token_counts)
+        "text_quality": r"""
             WITH f AS (
                 SELECT doc_id,
                        length(text) AS n_chars,
@@ -1734,11 +1761,15 @@ def oracle_sql() -> dict[str, str]:
                            AS stopword_ratio_x10000
                 FROM documents
             )
-            SELECT doc_id, n_chars, n_words, avg_word_len_x100,
-                   stopword_hits, stopword_ratio_x10000,
-                   n_words >= 20 AND avg_word_len_x100 BETWEEN 200 AND 900
-                       AS passes_gate
-            FROM f
+            SELECT f.doc_id, f.n_chars, f.n_words, f.avg_word_len_x100,
+                   f.stopword_hits, f.stopword_ratio_x10000,
+                   f.n_words >= 20
+                       AND f.avg_word_len_x100 BETWEEN 200 AND 900
+                       AS passes_gate,
+                   len(string_split(d.text, ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(d.text,
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+            FROM f JOIN documents d ON f.doc_id = d.doc_id
         """,
         # WET round-trip: the parsed-back record set equals ground truth
         # (url derivation identical to url_canonical's)
@@ -1942,5 +1973,73 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated,
                    coalesce(h.n, 0) = 0 AS kept
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # line-level corpus dedup: same repeated-line inventory (lines in
+        # ≥2 distinct docs — here the page-separator chrome), same in-order
+        # surgery over the split array, newline rejoin. coalesce guards the
+        # aggregate-list row when no line repeats.
+        "dedup_lines": """
+            WITH c AS (
+                SELECT doc_id,
+                       'Cookie notice: this site uses tracking cookies'
+                       || chr(10) || text || chr(10)
+                       || 'Mirror footer ' || CAST(doc_id % 7 AS VARCHAR)
+                       || chr(10) || 'unique-tail-' || CAST(doc_id AS VARCHAR)
+                           AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM c
+            ),
+            rep AS (
+                SELECT coalesce(list(line), []) AS rl FROM (
+                    SELECT line FROM (
+                        SELECT doc_id, unnest(ls) AS line FROM l
+                    ) GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+                )
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(ls, x -> NOT list_contains(rl, x)),
+                       chr(10)) AS text,
+                   CAST(len(ls)
+                        - len(list_filter(ls, x -> NOT list_contains(rl, x)))
+                        AS BIGINT) AS n_removed_lines
+            FROM l, rep
+        """,
+        # PII redaction: identical planted suffix, identical sequential
+        # replace chain (email -> ipv4 -> phone), counts on the original
+        # text; 'g' = global replace to match Spark's regexp_replace.
+        "pii_redact": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 or call 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-1234.' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{3}-\d{3}-\d{4}\b'))
+                       AS BIGINT) AS n_phones
+            FROM p
         """,
     }

@@ -228,6 +228,59 @@ def remove_repeated_spans(
     )
 
 
+def remove_repeated_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level corpus dedup (the CCNet/RefinedWeb paragraph-dedup rule):
+    drop every line that occurs in ≥ ``min_docs`` distinct documents —
+    navigation chrome, cookie banners, licence lines, and (in this corpus)
+    the page-separator lines that genuinely repeat across documents — and
+    reassemble each document from its surviving lines in order. A pure
+    function of the corpus; output (doc_id, text, n_removed_lines).
+
+    Shape at 100 TB: one line explode → partial-agg groupBy(line) for the
+    repeated set (join key becomes ``xxhash64(line)`` at scale, one 8-byte
+    column) → semi-join hits → per-doc covered-position int sets → row-local
+    rebuild via a JVM index-filter lambda over the split array. Line rows
+    and tiny position sets shuffle — document payloads never do (same
+    contract as :func:`remove_repeated_spans`).
+    """
+    lines_arr = F.split(F.col(text_col), "\n")
+    l = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines_arr).alias("pos", "line"),
+    )
+    rep = (
+        l.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    covered = (
+        l.join(rep, "line", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__covered"))
+    )
+    cov = F.coalesce(F.col("__covered"), F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), lines_arr.alias("__ls"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    "__ls", lambda w, i: ~F.array_contains(cov, i.cast("int"))
+                ),
+                "\n",
+            ).alias("text"),
+            F.size(cov).cast("long").alias("n_removed_lines"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

@@ -547,6 +547,39 @@ def decontaminate(
     )
 
 
+# PII patterns deliberately restricted to constructs with identical
+# semantics in Java regex (Spark, backtracking) and RE2 (DuckDB oracle,
+# leftmost-longest): greedy character classes and fixed counts only — no
+# alternation, no lookaround — so both engines produce the same match spans.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing pass every public web-text pipeline applies before
+    training: replace emails, IPv4 addresses, and NANP-style phone numbers
+    with typed placeholder tokens, and report per-doc match counts (counted
+    on the ORIGINAL text, before any replacement). Output
+    (doc_id, text, n_emails, n_ipv4, n_phones).
+
+    100 TB shape: a pure JVM regexp projection inside whole-stage codegen —
+    no shuffle, no Python, embarrassingly parallel over the scan."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
 def lang_id(
     pages: DataFrame,
     payload_col: str = "html",

@@ -224,3 +224,41 @@ def test_remove_repeated_spans_exact_copies_vanish(spark):
     # doc 3: every gram containing position 0 (the edited word) is unique,
     # but grams starting at 1.. match docs 1/2's tails → positions 1-19 go
     assert out[3]["text"] == "zzznear" and out[3]["n_removed"] == 19
+
+
+def test_remove_repeated_lines_surgery(spark):
+    """Crafted corpus: the boilerplate line repeats across docs (and twice
+    within doc 1), the unique lines survive in order; a doc made entirely
+    of repeated lines collapses to empty text."""
+    from ocr_project_spark.dedup import remove_repeated_lines
+
+    bp = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp}\nkeep one\n{bp}\nkeep two"),
+            (2, f"intro\n{bp}\noutro"),
+            (3, bp),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_lines"])
+        for r in remove_repeated_lines(docs).collect()
+    }
+    assert got == {
+        1: ("keep one\nkeep two", 2),
+        2: ("intro\noutro", 1),
+        3: ("", 1),
+    }
+
+
+def test_remove_repeated_lines_min_docs_threshold(spark):
+    """A line repeated only WITHIN one doc (1 distinct doc) is kept at the
+    default min_docs=2 — the rule is cross-document, not within-document."""
+    from ocr_project_spark.dedup import remove_repeated_lines
+
+    docs = spark.createDataFrame(
+        [(1, "echo\necho\nmid"), (2, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in remove_repeated_lines(docs).collect()}
+    assert got == {1: "echo\necho\nmid", 2: "solo"}

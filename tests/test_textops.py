@@ -330,3 +330,43 @@ def test_contamination_corpus_never_shuffles(spark):
     # one hash-agg exchange for the per-doc hit count, plus the two
     # broadcast exchanges of the tiny sides -- nothing else
     assert n_nodes(plan, "Exchange") <= 1
+
+
+def test_redact_pii_crafted(spark):
+    from ocr_project_spark.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@sub.example.org now"),
+            (2, "server 192.168.0.1 and 10.0.0.7 up"),
+            (3, "call 555-867-5309."),
+            (4, "clean text only"),
+            (5, "x@y.io at 1.2.3.4 tel 123-456-7890"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_emails"], r["n_ipv4"], r["n_phones"])
+        for r in redact_pii(docs).collect()
+    }
+    assert got == {
+        1: ("mail <EMAIL> now", 1, 0, 0),
+        2: ("server <IP> and <IP> up", 0, 2, 0),
+        3: ("call <PHONE>.", 0, 0, 1),
+        4: ("clean text only", 0, 0, 0),
+        5: ("<EMAIL> at <IP> tel <PHONE>", 1, 1, 1),
+    }
+
+
+def test_redact_pii_is_shuffle_free(spark):
+    """Plan contract: pure JVM projection — no exchange, no Python stage."""
+    from tests.test_plans import n_nodes, plan_of
+
+    from ocr_project_spark.textops import redact_pii
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = plan_of(redact_pii(docs))
+    assert n_nodes(plan, "Exchange") == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
