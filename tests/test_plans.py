@@ -195,3 +195,14 @@ def test_cap_per_host_single_host_exchange(spark):
     plan = plan_of(cap_per_host(df, max_per_host=2))
     assert n_nodes(plan, "Exchange") <= 2  # round-robin source + host hash
     assert n_nodes(plan, "Window") == 1
+
+
+def test_line_removal_no_cartesian_and_partial_aggs(spark, documents):
+    """PLANS §8: line dedup's only wide ops are partial-agg groupBys and
+    key joins — never a cartesian product; payloads never shuffle."""
+    from ocr_project_spark.dedup import remove_repeated_lines
+
+    plan = plan_of(remove_repeated_lines(documents))
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "partial_count" in plan or "HashAggregate" in plan
