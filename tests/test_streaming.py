@@ -325,3 +325,41 @@ def test_near_dup_index_compaction_bounds_files(spark, tmp_path):
     files = globmod.glob(os.path.join(loc, "**", "*.parquet"), recursive=True)
     assert 0 < len(files) <= 4, files
     _drop_index_tables(spark, idx)
+
+
+def test_stateless_curation_ops_compose_with_streams(spark, documents, tmp_path):
+    """The shuffle-free curation projections (redact_pii here) are valid
+    Structured Streaming transformations as-is: readStream → redact_pii →
+    availableNow parquet sink equals the batch result, and a second
+    invocation with the same checkpoint reprocesses nothing."""
+    from ocr_project_spark.textops import redact_pii
+
+    inp = str(tmp_path / "segments")
+    out = str(tmp_path / "redacted")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = documents.select("doc_id", "text").where("doc_id < 200")
+    docs.coalesce(1).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    q = (
+        redact_pii(stream)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = redact_pii(docs)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # same checkpoint, no new segments -> nothing reprocessed
+    q = (
+        redact_pii(stream)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == want.count()
