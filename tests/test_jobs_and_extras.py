@@ -186,3 +186,69 @@ def test_extract_cli_wet_output(spark, tmp_path):
         ok.select("url", ok.text.alias("truth")), "url"
     ).where("decode(html, 'UTF-8') = truth")
     assert joined.count() == 494
+
+
+def test_curate_cli_full_chain(spark, tmp_path):
+    """jobs/curate.py: line dedup → PII redaction → decontamination →
+    quality gate in one run, with passthrough columns preserved and every
+    stage's loss observable."""
+    from ocr_project_spark.jobs.curate import main as curate_main
+
+    src = str(tmp_path / "docs")
+    ev = str(tmp_path / "eval")
+    out = str(tmp_path / "curated")
+
+    base = spark.read.parquet(f"{c.SF_DIR}/documents.parquet")
+    # plant: a shared boilerplate line + an email on every doc
+    planted = base.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe to our newsletter"),
+            F.concat(F.col("text"), F.lit(" reach admin@example.com")),
+        ).alias("text"),
+        "lang",
+    )
+    planted.write.parquet(src)
+    # eval set = 20-word prefix of every 13th doc
+    base.where("doc_id % 13 = 5").select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("text")
+    ).write.parquet(ev)
+
+    curate_main(
+        [
+            "--documents", src,
+            "--out", out,
+            "--drop-repeated-lines",
+            "--redact-pii",
+            "--decontaminate-against", ev,
+            "--quality-gate",
+        ],
+        spark=spark,
+    )
+    got = spark.read.parquet(out)
+    n_eval = base.where("doc_id % 13 = 5").count()
+    # every contaminated doc is gone; the quality gate then thins further,
+    # so the CLI output must equal the composed library stages exactly
+    from ocr_project_spark.dedup import remove_repeated_lines
+    from ocr_project_spark.textops import decontaminate, quality_gate, redact_pii
+
+    cleaned = redact_pii(remove_repeated_lines(planted))
+    survivors = decontaminate(
+        cleaned, spark.read.parquet(ev).select("text")
+    )
+    want_ids = {
+        r["doc_id"]
+        for r in survivors.join(
+            quality_gate(survivors).select("doc_id"), "doc_id", "left_semi"
+        ).collect()
+    }
+    got_ids = {r["doc_id"] for r in got.collect()}
+    assert got_ids == want_ids
+    assert len(got_ids) <= base.count() - n_eval  # contaminated all dropped
+    assert not any(i % 13 == 5 for i in got_ids)
+    assert set(got.columns) == {"doc_id", "text", "lang"}  # passthrough kept
+    # boilerplate line gone, email redacted, everywhere
+    assert got.where("text LIKE '%Subscribe to our newsletter%'").count() == 0
+    assert got.where("text LIKE '%admin@example.com%'").count() == 0
+    assert got.where("text LIKE '%<EMAIL>%'").count() == got.count()
