@@ -204,21 +204,15 @@ reach(src, dst) AS (
 )
 """
 
-_MINHASH_KEEP_SQL = f"""
-WITH RECURSIVE {_DEDUP_CORPUS.strip().rstrip()}, {_SH_PAIRS_CLOSURE_DE}
-SELECT c.doc_id FROM corpus c
-WHERE c.lang = 'de'
-  AND c.doc_id NOT IN (SELECT src FROM reach WHERE dst < src)
-"""
-
-_MINHASH_CLUSTERS_SQL = f"""
+_MINHASH_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_VEE_CORPUS.strip().rstrip()}, {_SH_PAIRS_CLOSURE_DE},
 comp AS (
     SELECT src AS doc_id, LEAST(MIN(dst), src) AS cluster_id
     FROM reach GROUP BY src
 )
 SELECT c.doc_id,
-       CAST(COALESCE(k.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+       CAST(COALESCE(k.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(k.cluster_id, c.doc_id) = c.doc_id AS kept
 FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id
 WHERE c.lang = 'de'
 """
@@ -641,19 +635,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component keep-list over MinHash-LSH near-dup pairs: one
-    min-id representative per duplicate cluster plus every singleton — the
-    corpus a training pipeline keeps. The oracle replays it with exact
-    shingle-jaccard pairs + a recursive-CTE transitive closure, so the
-    engine's large-star/small-star components are checked end-to-end."""
-    from ocr_project_spark.dedup import minhash_dedup_keep
-
-    return minhash_dedup_keep(
-        _dedup_corpus_de(spark, sf_dir), threshold=0.8, num_hashes=128, bands=32
-    )
-
-
 def _vee_corpus_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V-structure corpus (see _VEE_CORPUS): head-edit (id), tail-edit
     (+100000), original (+200000) — clusters exist only transitively."""
@@ -682,11 +663,16 @@ def _vee_corpus_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster labels over a V-planted corpus where the component
-    {head-edit, tail-edit, original} only exists through transitive closure
-    (head~orig and tail~orig are near-dups, head~tail is not): every doc
-    labeled with its component's min id, singletons with themselves."""
+def q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components + keep decisions in one row set (merges round
+    3's dedup_minhash_clusters + dedup_minhash_keep rows), over the
+    V-planted corpus where the {head-edit, tail-edit, original} component
+    exists only through transitive closure (head~orig and tail~orig are
+    near-dups, head~tail is not): every doc labeled with its component's
+    min id (singletons with themselves), ``kept`` = is the component's
+    min-id representative — the corpus a training pipeline keeps. The
+    oracle replays exact shingle-jaccard pairs + a recursive-CTE closure,
+    checking the large-star/small-star engine end-to-end."""
     from ocr_project_spark.components import near_dup_clusters
     from ocr_project_spark.dedup import minhash_near_dup_pairs
 
@@ -694,7 +680,11 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup_pairs(
         corpus, threshold=0.8, num_hashes=128, bands=32
     )
-    return near_dup_clusters(corpus, pairs)
+    return near_dup_clusters(corpus, pairs).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+    )
 
 
 def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,15 +939,6 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard packing: documents ordered by id greedily packed into
-    ≤10k-token shards via the distributed prefix sum; the oracle is the
-    global cumulative-sum window it must equal exactly."""
-    from ocr_project_spark.textops import shard_by_token_budget
-
-    return shard_by_token_budget(_docs(spark, sf_dir), budget=10_000)
-
-
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile: exact aggregates (corpus_stats) joined
     with the mergeable-sketch word-length percentiles (corpus_percentiles
@@ -986,14 +967,53 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("url", F.decode("html", "UTF-8").alias("text"))
 
 
-def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment (hash_split): md5-bucket
-    partition of the id space — a pure function of the id, invariant to
-    partitioning/row order (df.sample is neither), replayed bucket-exactly
-    by the oracle via the hex-prefix parse."""
-    from ocr_project_spark.textops import hash_split
+def q_corpus_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus release decisions in one row set (merges round
+    3's doc_splits + token_shards rows): the md5-bucket train/val/test
+    assignment (hash_split — a pure function of the id, invariant to
+    partitioning/row order, where df.sample is neither) joined with the
+    ≤10k-token greedy shard packing (shard_by_token_budget — the
+    distributed per-bucket prefix sum, which must equal the single global
+    cumulative-sum window the oracle runs)."""
+    from ocr_project_spark.textops import hash_split, shard_by_token_budget
 
-    return hash_split(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    return hash_split(docs).join(shard_by_token_budget(docs), "doc_id")
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode + whitespace canonicalization over a corpus planted with a
+    messy suffix (CRLF, decomposed combining accents, a double space, a BEL
+    control char, NBSP): CR/control/space passes are JVM regexes; NFC
+    composition — no Spark built-in exists — is one Arrow-batched
+    ``mapInPandas`` pass (vectorized ``Series.str.normalize``). The oracle
+    replays the exact chain with DuckDB ``regexp_replace(..., 'g')`` +
+    ``nfc_normalize``, so the two engines' Unicode tables are checked
+    against each other byte-for-byte."""
+    from ocr_project_spark.textops import normalize_text
+
+    messy = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            # decomposed i+U+0308 / e+U+0301 (NFC must compose),
+            # precomposed é (NFC identity), BEL (stripped), NBSP (→ space)
+            F.lit("\r\nnai\u0308ve  caf\u00e9 e\u0301tude\x07\u00a0fin"),
+        ).alias("text"),
+    )
+    return normalize_text(messy)
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing toward token proportions en:zh:de =
+    5:2:2 (es/fr dropped): the limiting source (de at this sf) is kept in
+    full and the others are thinned by an md5-draw that is a pure function
+    of the id. The keep rule is exact integer cross-multiplication
+    (DECIMAL(38,0) in Spark, HUGEINT in the oracle) — no float thresholds
+    — so the kept set is replayed row-exactly."""
+    from ocr_project_spark.textops import sample_corpus_mix
+
+    return sample_corpus_mix(_docs(spark, sf_dir), {"en": 5, "zh": 2, "de": 2})
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "text_normalize": q_text_normalize,
+        "corpus_mix": q_corpus_mix,
+        "corpus_partitioning": q_corpus_partitioning,
+        "dedup_minhash_components": q_dedup_minhash_components,
         "pii_redact": q_pii_redact,
         "dedup_lines": q_dedup_lines,
         "contamination": q_contamination,
@@ -1133,8 +1157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
         "dedup_minhash": q_dedup_minhash,
         "dedup_span_removal": q_dedup_span_removal,
-        "dedup_minhash_keep": q_dedup_minhash_keep,
-        "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         # --- similarity search ---
         "sim_topk_brute": q_sim_topk_brute,
@@ -1150,8 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---
         "gopher_gate": q_gopher_gate,
         "text_repetition": q_text_repetition,
-        "doc_splits": q_doc_splits,
-        "token_shards": q_token_shards,
     }
 
 
@@ -1516,8 +1536,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN rebuilt r USING (doc_id)
             LEFT JOIN nrem nr USING (doc_id)
         """,
-        "dedup_minhash_keep": _MINHASH_KEEP_SQL,
-        "dedup_minhash_clusters": _MINHASH_CLUSTERS_SQL,
+        "dedup_minhash_components": _MINHASH_COMPONENTS_SQL,
         # planted-copy projection: identical text ⇒ identical simhash ⇒
         # pair guaranteed at hamming 0 (see q_dedup_simhash docstring)
         "dedup_simhash": """
@@ -1785,20 +1804,93 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM documents WHERE {_WELL_FORMED}
         """,
-        # hash_split replay: same md5 hex-prefix bucket, same ordered
-        # threshold chain
-        "doc_splits": f"""
+        # hash_split replay (same md5 hex-prefix bucket, same ordered
+        # threshold chain) joined with the shard packing replay (the
+        # distributed prefix sum must equal one global cumulative window)
+        "corpus_partitioning": f"""
             WITH b AS (
                 SELECT doc_id,
                        ({_hex_int("md5('split' || CAST(doc_id AS VARCHAR))", 1, 8)})
                            % 10000 AS bucket
                 FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+                             - n_tokens) // 10000 AS BIGINT) AS shard
+                FROM t
             )
-            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+            SELECT b.doc_id, CAST(bucket AS BIGINT) AS bucket,
                    CASE WHEN bucket < 9800 THEN 'train'
                         WHEN bucket < 9900 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM b
+                        ELSE 'test' END AS split,
+                   s.n_tokens, s.shard
+            FROM b JOIN s ON b.doc_id = s.doc_id
+        """,
+        # normalize_text replay: the identical regexp chain (RE2 escapes in
+        # plain-literal patterns; 'g' = replace-all like Spark) then
+        # DuckDB's nfc_normalize vs the engine's Python unicodedata NFC —
+        # a cross-engine check of the Unicode composition tables
+        "text_normalize": """
+            WITH m AS (
+                SELECT doc_id,
+                       text || chr(13) || chr(10) || 'nai' || chr(776)
+                            || 've  caf' || chr(233) || ' e' || chr(769)
+                            || 'tude' || chr(7) || chr(160) || 'fin' AS orig
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, orig,
+                       nfc_normalize(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(orig, '\\r\\n|\\r',
+                                                      chr(10), 'g'),
+                                       chr(160), ' ', 'g'),
+                                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                                   '', 'g'),
+                               '  +', ' ', 'g')) AS text
+                FROM m
+            )
+            SELECT doc_id, text, text <> orig AS changed FROM n
+        """,
+        # sample_corpus_mix replay: per-source token totals, the argmin
+        # limiting source (IEEE double of the same ints in both engines,
+        # source-asc tiebreak), then the exact HUGEINT cross-multiplication
+        # keep rule — no float thresholds anywhere
+        "corpus_mix": f"""
+            WITH t AS (
+                SELECT doc_id, lang AS source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            w(source, weight) AS (VALUES ('de', 2), ('en', 5), ('zh', 2)),
+            tw AS (
+                SELECT t.source, CAST(sum(n_tokens) AS BIGINT) AS total,
+                       weight
+                FROM t JOIN w ON t.source = w.source
+                GROUP BY t.source, weight
+            ),
+            lim AS (
+                SELECT total AS lim_total, weight AS lim_weight FROM tw
+                ORDER BY CAST(total AS DOUBLE) / weight ASC, source ASC
+                LIMIT 1
+            )
+            SELECT doc_id, source, n_tokens
+            FROM t JOIN tw USING (source), lim
+            WHERE CAST(({_hex_int("md5('mix' || CAST(doc_id AS VARCHAR))", 1, 8)})
+                       AS HUGEINT)
+                      * CAST(total AS HUGEINT) * CAST(lim_weight AS HUGEINT)
+                < CAST(4294967296 AS HUGEINT)
+                      * CAST(lim_total AS HUGEINT) * CAST(weight AS HUGEINT)
         """,
         # exact replay of repetition_signals: word/2-gram counts via
         # parallel-unnest explodes, dup positions = sum of counts >= 2
@@ -1896,18 +1988,6 @@ def oracle_sql() -> dict[str, str]:
                                                    % 2147483647)
                    )) AS BIGINT) AS min_hash
             FROM c
-        """,
-        "token_shards": """
-            WITH t AS (
-                SELECT doc_id,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                FROM documents
-            )
-            SELECT doc_id, n_tokens,
-                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         - n_tokens) // 10000 AS BIGINT) AS shard
-            FROM t
         """,
         # corpus_profile: exact aggregates + percentiles in one per-lang
         # row. The GK sketch is exact while per-group n ≤ its accuracy

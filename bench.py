@@ -138,6 +138,7 @@ def main() -> None:
         exact_dup_groups,
         minhash_dedup_keep,
         minhash_near_dup_pairs,
+        remove_repeated_lines,
         repeated_ngram_spans,
         simhash_near_dup_pairs,
     )
@@ -145,11 +146,15 @@ def main() -> None:
     from ocr_project_spark.pipeline import run_extraction
     from ocr_project_spark.similarity import brute_force_topk, lsh_topk
     from ocr_project_spark.textops import (
+        decontaminate,
         fingerprints,
         gopher_gate,
         lang_id,
+        normalize_text,
         quality_scores,
+        redact_pii,
         repetition_signals,
+        sample_corpus_mix,
         shard_by_token_budget,
     )
 
@@ -250,6 +255,20 @@ def main() -> None:
     )
     timed("token_shards", lambda: shard_by_token_budget(docs).count())
     timed("lang_id", lambda: lang_id(pages.where("doc_id < 1000000")).count())
+    # round-4 curation ops: structural line dedup, PII scrub, benchmark
+    # decontamination (eval = 20-word prefix of every 13th doc), Unicode
+    # normalization (the one Arrow NFC pass), deterministic source mixing
+    timed("dedup_lines", lambda: remove_repeated_lines(docs).count())
+    timed("pii_redact", lambda: redact_pii(docs).count())
+    eval_docs = docs.where("doc_id % 13 = 5").select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)).alias("text")
+    )
+    timed("contamination", lambda: decontaminate(docs, eval_docs).count())
+    timed("text_normalize", lambda: normalize_text(docs).count())
+    timed(
+        "corpus_mix",
+        lambda: sample_corpus_mix(docs, {"en": 5, "zh": 2, "de": 2}).count(),
+    )
 
     spark.stop()
 

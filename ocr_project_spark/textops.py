@@ -623,3 +623,123 @@ def lang_id(
     for lang in reversed(langs):
         pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
     return pages.select("doc_id", pred.alias("pred_lang"))
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode + whitespace normalization — the canonicalization pass a
+    web-text pipeline applies before any hashing/dedup so that visually
+    identical strings hash identically: CRLF/CR → LF, NBSP → space, strip
+    C0 control characters (keeping LF and TAB), collapse runs of 2+ spaces,
+    then Unicode NFC composition. Output (doc_id, text, changed).
+
+    The structural passes are pure JVM regexp projections (whole-stage
+    codegen); NFC has no Spark built-in, so it runs as ONE narrow
+    Arrow-batched pass (``mapInPandas`` + vectorized
+    ``Series.str.normalize``) — no shuffle anywhere, embarrassingly
+    parallel over the scan at any scale. The DuckDB oracle replays the
+    exact chain with ``regexp_replace(..., 'g')`` + ``nfc_normalize``."""
+    import pandas as pd  # noqa: F401 (schema hint for readers)
+
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, "\r\n|\r", "\n")
+    cleaned = F.regexp_replace(cleaned, "\u00a0", " ")
+    cleaned = F.regexp_replace(
+        cleaned, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    cleaned = F.regexp_replace(cleaned, "  +", " ")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("__orig"),
+        cleaned.alias("__cleaned"),
+    )
+
+    def _nfc(batches):
+        for pdf in batches:
+            out = pdf["__cleaned"].str.normalize("NFC")
+            yield pdf.assign(text=out, changed=out != pdf["__orig"])[
+                ["doc_id", "text", "changed"]
+            ]
+
+    return staged.mapInPandas(
+        _nfc, schema="doc_id long, text string, changed boolean"
+    )
+
+
+def sample_corpus_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus mixing: down-sample each source so the kept
+    corpus approaches the target token proportions ``weights`` (integer
+    weights; sources absent from ``weights`` are dropped). The limiting
+    source — the one whose ``total/weight`` is smallest — is kept in full
+    and every other source is thinned to match, i.e. the largest corpus
+    achievable at the requested mix without upsampling.
+
+    Per-document keep/drop is a pure function of the id (md5 draw, like
+    :func:`hash_split` — never ``df.sample``), so the mix is stable across
+    re-runs and repartitions. The keep test is exact integer
+    cross-multiplication (no float thresholds):
+
+        draw · total_s · w_lim  <  2^32 · total_lim · w_s
+
+    with the products carried in DECIMAL(38,0) — ≤ 2^32·2^50·2^20 ≈ 10^31
+    < 10^38, so the arithmetic stays exact at 100 TB token totals. Only the
+    per-source totals (one row per source, joined back via broadcast) leave
+    the aggregation; nothing collects to the driver. Output: the kept
+    corpus as (doc_id, source, n_tokens)."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive ints")
+    spark = docs.sparkSession
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+    )
+    w_df = spark.createDataFrame(
+        sorted(weights.items()), "source string, weight long"
+    )
+    totals = (
+        base.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total"))
+        .join(F.broadcast(w_df), "source")
+    )
+    # limiting source: argmin(total/weight), tie → source asc. The ORDER BY
+    # division is IEEE double of the same ints in both engines (oracle-safe);
+    # the keep comparison below never divides.
+    lim = (
+        totals.orderBy(
+            (F.col("total").cast("double") / F.col("weight")).asc(),
+            F.col("source").asc(),
+        )
+        .limit(1)
+        .select(
+            F.col("total").alias("lim_total"), F.col("weight").alias("lim_weight")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    return (
+        base.join(F.broadcast(totals), "source")
+        .join(F.broadcast(lim))
+        .where(
+            dec(draw) * dec(F.col("total")) * dec(F.col("lim_weight"))
+            < dec(F.lit(4294967296)) * dec(F.col("lim_total")) * dec(F.col("weight"))
+        )
+        .select("doc_id", "source", "n_tokens")
+    )

@@ -370,3 +370,94 @@ def test_redact_pii_is_shuffle_free(spark):
     plan = plan_of(redact_pii(docs))
     assert n_nodes(plan, "Exchange") == 0
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_normalize_text_crafted(spark):
+    """Every pass verified on crafted rows: CRLF/CR → LF, NBSP → space,
+    control strip (LF/TAB kept), space-run collapse, NFC composition."""
+    from ocr_project_spark.textops import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\r\nb\rc"),
+            (2, "x y"),
+            (3, "bell\x07 del\x7f keep\ttab\nline"),
+            (4, "too   many    spaces"),
+            (5, "naïve étude"),  # decomposed
+            (6, "naïve étude"),  # precomposed — idempotent
+            (7, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["changed"]) for r in normalize_text(docs).collect()}
+    assert got == {
+        1: ("a\nb\nc", True),
+        2: ("x y", True),
+        3: ("bell del keep\ttab\nline", True),
+        4: ("too many spaces", True),
+        5: ("naïve étude", True),
+        6: ("naïve étude", False),
+        7: ("already clean", False),
+    }
+
+
+def test_normalize_text_is_one_narrow_pass(spark):
+    """Plan contract: no shuffle anywhere — the JVM regex passes fuse into
+    the scan and NFC is a single MapInPandas over it."""
+    from tests.test_plans import n_nodes, plan_of
+
+    from ocr_project_spark.textops import normalize_text
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a  b").alias("text")
+    )
+    plan = plan_of(normalize_text(docs))
+    assert n_nodes(plan, "Exchange") == 0
+    assert n_nodes(plan, "MapInPandas") == 1
+
+
+def test_sample_corpus_mix_hits_target_proportions(spark):
+    """Planted corpus with known token totals: the limiting source is kept
+    in full and the others land within binomial tolerance of the target
+    token ratio; membership is a pure function of the id (stable across
+    repartition)."""
+    from ocr_project_spark.textops import sample_corpus_mix
+
+    rows = []
+    for i in range(3000):
+        src = ("a", "b", "c", "drop")[i % 4]
+        rows.append((i, src, "w " * 7 + "end"))  # 8 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # totals: 6000 tokens per source; weights a:b:c = 1:2:4 → T/w =
+    # 6000/3000/1500, limiting source = c: c keeps all 6000 tokens,
+    # b thins to ~3000 (rate 1/2), a to ~1500 (rate 1/4).
+    out = sample_corpus_mix(docs, {"a": 1, "b": 2, "c": 4}, source_col="lang")
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(kept) == {"a", "b", "c"}  # 'drop' gone
+    assert kept["c"] == 750  # limiting source fully kept (750 docs)
+    # a targets 750*8*1/4 = 1500 tokens = 187.5 docs; b: 375 docs (±4σ)
+    import math
+
+    for src, rate in (("a", 0.25), ("b", 0.5)):
+        n, p = 750, rate
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(kept[src] - n * p) < 4 * sigma + 1, (src, kept[src])
+    # determinism across repartition
+    again = sample_corpus_mix(
+        docs.repartition(13), {"a": 1, "b": 2, "c": 4}, source_col="lang"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_sample_corpus_mix_rejects_bad_weights(spark):
+    from ocr_project_spark.textops import sample_corpus_mix
+
+    docs = spark.createDataFrame([(1, "en", "a b")], "doc_id long, lang string, text string")
+    for bad in ({}, {"en": 0}, {"en": -1}):
+        try:
+            sample_corpus_mix(docs, bad)
+            assert False, f"expected ValueError for {bad}"
+        except ValueError:
+            pass
