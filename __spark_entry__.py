@@ -560,20 +560,34 @@ def q_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compare_backends(_docs(spark, sf_dir))
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full exact-dedup ledger (min_copies=1): one row per distinct text
-    over the planted-dup corpus. keeper_id IS the dedup_keep keep-list and
-    n_copies > 1 recovers the duplicate groups — one aggregation, both
-    views driver-verified (registry consolidation, round-4 verdict #1)."""
-    from ocr_project_spark.dedup import dedup_test_corpus, exact_dup_groups
+def q_dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash and prefix-blocking dedup ledgers in one tagged row set
+    (merges round 4's dedup_exact + dedup_prefix rows) over the
+    planted-dup corpus: family='exact' rows carry one row per distinct
+    text at min_copies=1 (keeper_id IS the keep-list, n_docs > 1 recovers
+    the duplicate groups), family='prefix' rows the 4-word-prefix blocking
+    groups with >1 member. Both are single map-side-partial aggregations;
+    the oracle replays each family and UNION ALLs them."""
+    from ocr_project_spark.dedup import (
+        dedup_test_corpus,
+        exact_dup_groups,
+        prefix_dup_groups,
+    )
 
-    return exact_dup_groups(dedup_test_corpus(_docs(spark, sf_dir)), min_copies=1)
-
-
-def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_project_spark.dedup import dedup_test_corpus, prefix_dup_groups
-
-    return prefix_dup_groups(dedup_test_corpus(_docs(spark, sf_dir)))
+    corpus = dedup_test_corpus(_docs(spark, sf_dir))
+    exact = exact_dup_groups(corpus, min_copies=1).select(
+        F.lit("exact").alias("family"),
+        F.col("content_md5").alias("group_key"),
+        "keeper_id",
+        F.col("n_copies").alias("n_docs"),
+    )
+    prefix = prefix_dup_groups(corpus).select(
+        F.lit("prefix").alias("family"),
+        F.col("prefix").alias("group_key"),
+        "keeper_id",
+        "n_docs",
+    )
+    return exact.unionByName(prefix)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,6 +1117,40 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al.) over a planted multi-line
+    corpus built in pure SQL: the doc's own prose, nav chrome with no
+    terminal punctuation (dropped), a 1-word line (dropped), a surviving
+    parametrized sentence, and cohort-planted lorem-ipsum (doc_id % 11 == 3)
+    and curly-brace code (doc_id % 13 == 4) lines that flag the whole
+    document. The oracle replays line split, the word-count + terminal-
+    punctuation lambda, the rebuild, and the document flags."""
+    from ocr_project_spark.textops import c4_line_filter
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Home | About | Contact"),
+            F.lit("Ok."),
+            F.concat(
+                F.lit("Quality sentence number "),
+                (d % 100).cast("string"),
+                F.lit(" has plenty of words."),
+            ),
+            F.when(
+                d % 11 == 3, F.lit("Lorem ipsum dolor sit amet, consectetur.")
+            ).otherwise(F.lit('Another "quoted" line with enough words here!')),
+            F.when(
+                d % 13 == 4, F.lit("function f() { return 1; }")
+            ).otherwise(F.lit("Closing sentence with sufficient words present?")),
+        ).alias("text"),
+    )
+    return c4_line_filter(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_rollup(spark, "/root/testdata/sf0.001")
@@ -1117,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "c4_clean": q_c4_clean,
+        "dedup_blocking": q_dedup_blocking,
         "text_normalize": q_text_normalize,
         "corpus_mix": q_corpus_mix,
         "corpus_partitioning": q_corpus_partitioning,
@@ -1126,7 +1176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "backend_listing": q_backend_listing,
         "text_quality": q_text_quality,
-        "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "corpus_profile": q_corpus_profile,
@@ -1152,7 +1201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backend_compare": q_backend_compare,
         "wet_roundtrip": q_wet_roundtrip,
         # --- dedup families ---
-        "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
         "dedup_minhash": q_dedup_minhash,
@@ -1454,18 +1502,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, true AS texts_agree, true AS matches_truth
             FROM documents
         """,
-        "dedup_exact": f"""
-            WITH {_DEDUP_CORPUS}
-            SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
-                   count(*) AS n_copies
-            FROM corpus GROUP BY 1
-        """,
-        "dedup_prefix": f"""
-            WITH {_DEDUP_CORPUS}
-            SELECT array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
-                       AS prefix,
-                   min(doc_id) AS keeper_id, count(*) AS n_docs
-            FROM corpus GROUP BY 1 HAVING count(*) > 1
+        "dedup_blocking": f"""
+            WITH {_DEDUP_CORPUS},
+            e AS (
+                SELECT 'exact' AS family, md5(text) AS group_key,
+                       min(doc_id) AS keeper_id, count(*) AS n_docs
+                FROM corpus GROUP BY 2
+            ),
+            p AS (
+                SELECT 'prefix' AS family,
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 4), ' ')
+                           AS group_key,
+                       min(doc_id) AS keeper_id, count(*) AS n_docs
+                FROM corpus GROUP BY 2 HAVING count(*) > 1
+            )
+            SELECT * FROM e UNION ALL SELECT * FROM p
         """,
         "dedup_ngram_jaccard": _JACCARD_DE_SQL,
         "dedup_repeated_ngrams": f"""
@@ -2087,6 +2139,46 @@ def oracle_sql() -> dict[str, str]:
                         - len(list_filter(ls, x -> NOT list_contains(rl, x)))
                         AS BIGINT) AS n_removed_lines
             FROM l, rep
+        """,
+        # C4 cleaning replay: identical planted multi-line corpus, the
+        # same line lambda (>=5 words AND terminal-punctuation regex —
+        # Java regex and RE2 agree on the anchored class), rebuild, and
+        # document flags (lorem-ipsum / brace / >=3 kept lines).
+        "c4_clean": """
+            WITH m AS (
+                SELECT doc_id,
+                       text || chr(10) || 'Home | About | Contact'
+                            || chr(10) || 'Ok.' || chr(10)
+                            || 'Quality sentence number '
+                            || CAST(doc_id % 100 AS VARCHAR)
+                            || ' has plenty of words.' || chr(10)
+                            || CASE WHEN doc_id % 11 = 3
+                                    THEN 'Lorem ipsum dolor sit amet, consectetur.'
+                                    ELSE 'Another "quoted" line with enough words here!'
+                               END || chr(10)
+                            || CASE WHEN doc_id % 13 = 4
+                                    THEN 'function f() { return 1; }'
+                                    ELSE 'Closing sentence with sufficient words present?'
+                               END AS orig
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, orig,
+                       list_filter(string_split(orig, chr(10)),
+                                   x -> len(string_split(x, ' ')) >= 5
+                                        AND regexp_matches(x, '[.!?"]$'))
+                           AS kept_lines,
+                       len(string_split(orig, chr(10))) AS nl
+                FROM m
+            )
+            SELECT doc_id,
+                   array_to_string(kept_lines, chr(10)) AS text,
+                   (NOT contains(lower(orig), 'lorem ipsum'))
+                       AND (NOT contains(orig, '{'))
+                       AND len(kept_lines) >= 3 AS kept,
+                   CAST(nl AS BIGINT) AS n_lines,
+                   CAST(len(kept_lines) AS BIGINT) AS n_lines_kept
+            FROM l
         """,
         # PII redaction: identical planted suffix, identical sequential
         # replace chain (email -> ipv4 -> phone), counts on the original

@@ -146,6 +146,7 @@ def main() -> None:
     from ocr_project_spark.pipeline import run_extraction
     from ocr_project_spark.similarity import brute_force_topk, lsh_topk
     from ocr_project_spark.textops import (
+        c4_line_filter,
         decontaminate,
         fingerprints,
         gopher_gate,
@@ -265,6 +266,7 @@ def main() -> None:
     )
     timed("contamination", lambda: decontaminate(docs, eval_docs).count())
     timed("text_normalize", lambda: normalize_text(docs).count())
+    timed("c4_clean", lambda: c4_line_filter(docs).count())
     timed(
         "corpus_mix",
         lambda: sample_corpus_mix(docs, {"en": 5, "zh": 2, "de": 2}).count(),

@@ -1,7 +1,8 @@
 """spark-submit entrypoint for the corpus CURATION job: the ordered
 cleaning pipeline a web-text training run applies after dedup —
 
-    line dedup -> PII redaction -> benchmark decontamination -> quality gate
+    line dedup -> C4 line filter -> PII redaction
+              -> benchmark decontamination -> quality gate
 
 Each stage is optional (flag-gated) and the stage order is the one the
 public pipelines use: structural cleanup first (repeated-line removal
@@ -13,7 +14,7 @@ Usage (cluster):
     spark-submit --py-files dist/ocr_project_spark.zip \\
         ocr_project_spark/jobs/curate.py \\
         --documents <parquet> --out <parquet> \\
-        [--drop-repeated-lines] [--redact-pii] \\
+        [--drop-repeated-lines] [--c4-clean] [--redact-pii] \\
         [--decontaminate-against <eval parquet> [--ngram 13]] \\
         [--quality-gate]
 
@@ -23,10 +24,10 @@ Local smoke (no cluster):
         --out /tmp/curated --redact-pii --quality-gate
 
 100 TB shape: every stage is one of the audited plans (PLANS.md sections
-6/8) — line dedup shuffles line rows and position sets only, PII is a
-shuffle-free JVM projection, decontamination broadcasts the eval grams,
-and the quality gate is a narrow filter; nothing in the chain collects
-unbounded data to the driver.
+6/8) — line dedup shuffles line rows and position sets only, the C4 line
+filter and PII are shuffle-free JVM projections, decontamination
+broadcasts the eval grams, and the quality gate is a narrow filter;
+nothing in the chain collects unbounded data to the driver.
 """
 
 from __future__ import annotations
@@ -44,6 +45,12 @@ def parse_args(argv=None):
         help="remove lines occurring in >= --line-min-docs distinct docs",
     )
     p.add_argument("--line-min-docs", type=int, default=2)
+    p.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="C4 heuristic cleaning: keep >=5-word terminal-punctuation "
+        "lines, drop lorem-ipsum/brace/thin documents",
+    )
     p.add_argument(
         "--redact-pii",
         action="store_true",
@@ -93,6 +100,16 @@ def main(argv=None, spark=None) -> None:
                     "n_removed_lines"
                 )
             )
+        if args.c4_clean:
+            from ocr_project_spark.textops import c4_line_filter
+
+            docs = _restore(
+                c4_line_filter(docs)
+                .where("kept")
+                .drop("kept", "n_lines", "n_lines_kept")
+            )
+            n = docs.count()
+            print(f"curate: C4 line filter kept {n} documents")
         if args.redact_pii:
             from ocr_project_spark.textops import redact_pii
 

@@ -743,3 +743,52 @@ def sample_corpus_mix(
         )
         .select("doc_id", "source", "n_tokens")
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020, the published
+    Common-Crawl-to-training-corpus rules): keep only lines with at least
+    ``min_words_per_line`` whitespace words that end in terminal
+    punctuation (``. ! ? "``); flag the whole document as dropped when it
+    contains "lorem ipsum" (case-insensitive) or a ``{`` (code), or fewer
+    than ``min_kept_lines`` lines survive. Output per input document:
+    ``(doc_id, text, kept, n_lines, n_lines_kept)`` with ``text`` rebuilt
+    from the surviving lines in order — rows are never deleted here, so
+    corpus loss stays observable (filter on ``kept`` downstream).
+
+    Everything is JVM array/higher-order-function code inside whole-stage
+    codegen — split, ``F.filter`` with a word-count + rlike lambda,
+    ``array_join`` — zero Exchange, zero Python (plan-asserted):
+    embarrassingly parallel over the scan at 100 TB. The DuckDB oracle
+    replays the same lambda with ``list_filter`` + ``regexp_matches``
+    (Java regex and RE2 agree on the anchored character class)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda x: (F.size(F.split(x, " ")) >= F.lit(min_words_per_line))
+        & x.rlike('[.!?"]$'),
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__orig"),
+        lines.alias("__lines"),
+        kept_lines.alias("__kept"),
+    )
+    doc_ok = (
+        ~F.lower(F.col("__orig")).contains("lorem ipsum")
+        & ~F.col("__orig").contains("{")
+        & (F.size("__kept") >= F.lit(min_kept_lines))
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join("__kept", "\n").alias("text"),
+        doc_ok.alias("kept"),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size("__kept").cast("long").alias("n_lines_kept"),
+    )

@@ -252,3 +252,33 @@ def test_curate_cli_full_chain(spark, tmp_path):
     assert got.where("text LIKE '%Subscribe to our newsletter%'").count() == 0
     assert got.where("text LIKE '%admin@example.com%'").count() == 0
     assert got.where("text LIKE '%<EMAIL>%'").count() == got.count()
+
+
+def test_curate_cli_c4_clean(spark, tmp_path):
+    """jobs/curate.py --c4-clean: CLI output equals the composed library
+    stage (kept docs only, text rebuilt from surviving lines, passthrough
+    columns restored)."""
+    from ocr_project_spark.jobs.curate import main as curate_main
+    from ocr_project_spark.textops import c4_line_filter
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    good = "this sentence certainly has enough words to survive."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good, "Nav | Bar", good, good]), "en"),
+            (2, "\n".join([good, good]), "en"),  # only 2 kept -> dropped
+            (3, "lorem ipsum " + good, "en"),  # flagged -> dropped
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(src)
+    curate_main(["--documents", src, "--out", out, "--c4-clean"], spark=spark)
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {1}
+    want = {
+        r["doc_id"]: r["text"]
+        for r in c4_line_filter(docs).where("kept").collect()
+    }
+    assert {r["doc_id"]: r["text"] for r in got.collect()} == want
+    assert set(got.columns) == {"doc_id", "text", "lang"}

@@ -461,3 +461,48 @@ def test_sample_corpus_mix_rejects_bad_weights(spark):
             assert False, f"expected ValueError for {bad}"
         except ValueError:
             pass
+
+
+def test_c4_line_filter_crafted(spark):
+    """Every C4 rule on crafted rows: word-count minimum, terminal
+    punctuation, lorem-ipsum and curly-brace document flags, the
+    min-kept-lines floor, and in-order text rebuild."""
+    from ocr_project_spark.textops import c4_line_filter
+
+    good = "this line has enough words to survive."
+    bang = 'she said "five words are enough!"'
+    short = "Too short."
+    nopunct = "this line has many words but no terminal punctuation"
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good, short, nopunct, bang, good])),
+            (2, "\n".join([good, good])),  # only 2 kept -> not kept
+            (3, "\n".join([good, good, "Lorem Ipsum dolor sit amet.", good])),
+            (4, "\n".join([good, good, "a code line { with braces }.", good])),
+            (5, "no lines survive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["kept"], r["n_lines"], r["n_lines_kept"])
+        for r in c4_line_filter(docs).collect()
+    }
+    assert got[1] == ("\n".join([good, bang, good]), True, 5, 3)
+    assert got[2] == ("\n".join([good, good]), False, 2, 2)
+    # lorem/brace: surviving lines still rebuilt, doc flagged
+    assert got[3][1:] == (False, 4, 4)
+    assert got[4][1] is False
+    assert got[5] == ("", False, 1, 0)
+
+
+def test_c4_line_filter_is_shuffle_free(spark):
+    from tests.test_plans import n_nodes, plan_of
+
+    from ocr_project_spark.textops import c4_line_filter
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e.\nf g").alias("text")
+    )
+    plan = plan_of(c4_line_filter(docs))
+    assert n_nodes(plan, "Exchange") == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
