@@ -506,3 +506,35 @@ def test_c4_line_filter_is_shuffle_free(spark):
     plan = plan_of(c4_line_filter(docs))
     assert n_nodes(plan, "Exchange") == 0
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gram_hashes_matches_string_shingles(spark, documents):
+    """The Arrow rolling-hash gram pass is count-equivalent to the string
+    shingle path per document (distinct grams; short-doc whole-text gram
+    included) and injective on this corpus: distinct hash count equals
+    distinct gram-string count globally."""
+    from ocr_project_spark.dedup import shingle_sets
+    from ocr_project_spark.textops import gram_hashes
+
+    docs = documents.select("doc_id", "text")
+    n = 13
+    want = {
+        r["doc_id"]: r["k"]
+        for r in shingle_sets(docs, n)
+        .select("doc_id", F.size("shingles").alias("k"))
+        .collect()
+    }
+    got_df = gram_hashes(docs, n)
+    got = {
+        r["doc_id"]: r["k"]
+        for r in got_df.groupBy("doc_id").agg(F.count("*").alias("k")).collect()
+    }
+    assert got == want
+    n_hashes = got_df.select("gram_hash").distinct().count()
+    n_strings = (
+        shingle_sets(docs, n).select(F.explode("shingles")).distinct().count()
+    )
+    assert n_hashes == n_strings
+    # determinism across repartition (executor-independent hashing)
+    again = gram_hashes(docs.repartition(7), n)
+    assert again.exceptAll(got_df).count() == 0 and got_df.exceptAll(again).count() == 0
