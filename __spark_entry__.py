@@ -709,17 +709,86 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
-def q_sim_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup over a derived corpus with planted exact
-    copies (vec_id + 100000): LSH candidates + exact-cosine verify."""
+def q_sim_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs AND the dedup keep-list in one
+    tagged row set (round-4 merge of the sim_embed_near_dup and
+    sim_dedup_keep queries), over a derived corpus with planted exact
+    copies (vec_id + 100000): 'pair' rows are the LSH-candidate +
+    exact-cosine-verified near-dup pairs (cross-engine float check —
+    DuckDB recomputes every cosine); 'keep' rows are the vec_ids that
+    survive connected-component dedup (each copy has a lower-id near-dup
+    at cosine ≈ 1.0, so the kept set is exactly the originals)."""
+    from ocr_project_spark.components import near_dup_keep
     from ocr_project_spark.similarity import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    out = embedding_near_dup_pairs(corpus, threshold=0.95)
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.95)
+    keep = near_dup_keep(corpus, pairs.select("id_a", "id_b"), id_col="vec_id")
+    return pairs.select(
+        F.lit("pair").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("cosine", 6).alias("cosine"),
+    ).unionByName(
+        keep.select(
+            F.lit("keep").alias("kind"),
+            F.col("doc_id").alias("id_a"),
+            # sentinels, not NULLs: a NULL BIGINT degrades to float NaN in
+            # the driver's pandas-side oracle frame and breaks value hashing
+            F.lit(-1).cast("long").alias("id_b"),
+            F.lit(-1.0).alias("cosine"),
+        )
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, dedup
+    within clusters only. Over the planted-copy corpus (vec_id + 100000)
+    every vector has exactly one semantic duplicate — its exact copy, which
+    provably lands in the same cluster (identical vector ⇒ identical
+    nearest centroid) at cosine ≈ 1.0, while the natural cosine ceiling
+    (~0.51) stays far below the 0.95 threshold — so per-vector dup degree,
+    max duplicate cosine, and the kept set are all exact SQL. The
+    cluster-scoped recall trade-off (cross-cluster near-dups survive) is
+    asserted in tests with pinned centroids."""
+    from ocr_project_spark.components import near_dup_keep
+    from ocr_project_spark.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    pairs = semdedup_pairs(corpus, threshold=0.95, n_cells=8)
+    kept = near_dup_keep(corpus, pairs.select("id_a", "id_b"), id_col="vec_id")
+    degree = (
+        pairs.select(F.col("id_a").alias("vec_id"), "cosine")
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id"), "cosine"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sem_dups"),
+            F.round(F.max("cosine"), 6).alias("max_dup_cosine"),
+        )
+    )
+    return (
+        corpus.select("vec_id")
+        .join(degree, "vec_id", "left")
+        .join(
+            kept.select(F.col("doc_id").alias("vec_id"), F.lit(True).alias("kept")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("n_sem_dups", F.lit(0)).alias("n_sem_dups"),
+            "max_dup_cosine",
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )
 
 
 def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,22 +843,6 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         train="distributed",
     )
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
-
-
-def q_sim_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-dedup keep-list over the planted-copy corpus: each copy
-    (+100000) has a lower-id near-duplicate at cosine ≈ 1.0 (guaranteed
-    LSH co-location), so the kept set is exactly the originals — exact
-    SQL. Natural cosine ceiling at this scale is ~0.51 ≪ 0.95."""
-    from ocr_project_spark.similarity import embedding_dedup_keep
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    corpus = emb.unionByName(
-        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    )
-    return embedding_dedup_keep(corpus, threshold=0.95)
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,11 +985,45 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rules-style multi-signal quality gate; integer-safe features
-    emitted alongside the verdict so the oracle replays the gate exactly."""
-    from ocr_project_spark.textops import gopher_gate
+    """Gopher-style quality signals in one per-doc row set (round-4 merge
+    of the gopher_gate and text_repetition queries): the length/shape gate
+    features + verdict (gopher_gate(emit_all=True)) joined with the
+    within-document repetition signals (repetition_signals). Integer-safe
+    features so the oracle replays every value exactly."""
+    from ocr_project_spark.textops import gopher_gate, repetition_signals
 
-    return gopher_gate(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    gate = gopher_gate(docs, emit_all=True)
+    rep = repetition_signals(docs).drop("n_words")
+    return gate.join(rep, "doc_id")
+
+
+def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency n-gram LM scoring (the CCNet perplexity-filter
+    analog) over documents ∪ planted gibberish docs (+100000 on doc_id %
+    5 = 0; 12 words each unique to their document, built by the identical
+    string expression in Spark and SQL). Every gibberish bigram has
+    document frequency 1, so the planted docs score familiarity 0 and fail
+    the gate, while natural docs share their bigrams corpus-wide (mean df
+    ≈ 28 at sf0.01) and pass; n_grams/n_rare/sum_df are exact integers and
+    familiarity is the same int/int IEEE division in both engines. The
+    Spark side never materializes gram strings (the Arrow rolling-hash
+    pass), the oracle rebuilds them as strings — a cross-representation
+    check like the contamination query."""
+    from ocr_project_spark.textops import gram_lm_scores
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    gib = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("gib"), F.col("doc_id").cast("string"), F.lit(f"_{i}"))
+            for i in range(12)
+        ],
+    )
+    planted = docs.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), gib.alias("text")
+    )
+    return gram_lm_scores(docs.unionByName(planted), n=2)
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,15 +1115,6 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_project_spark.textops import sample_corpus_mix
 
     return sample_corpus_mix(_docs(spark, sf_dir), {"en": 5, "zh": 2, "de": 2})
-
-
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style within-document repetition signals (top-word share,
-    distinct-word ratio, duplicated-2-gram position share), integer-scaled
-    for exact replay."""
-    from ocr_project_spark.textops import repetition_signals
-
-    return repetition_signals(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,6 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "semdedup": q_semdedup,
+        "quality_lm": q_quality_lm,
+        "sim_embed_dedup": q_sim_embed_dedup,
+        "gopher_gate": q_gopher_gate,
         "c4_clean": q_c4_clean,
         "dedup_blocking": q_dedup_blocking,
         "text_normalize": q_text_normalize,
@@ -1210,16 +1292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_brute": q_sim_topk_brute,
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
-        "sim_embed_near_dup": q_sim_embed_near_dup,
-        "sim_dedup_keep": q_sim_dedup_keep,
         # --- multimodal ---
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "media_y4m": q_media_y4m,
         "media_audio": q_media_audio,
-        # --- text analysis ---
-        "gopher_gate": q_gopher_gate,
-        "text_repetition": q_text_repetition,
     }
 
 
@@ -1638,7 +1715,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(2 AS BIGINT), vec_id + 200000
             FROM embeddings WHERE vec_id < 10
         """,
-        "sim_embed_near_dup": """
+        # pair rows: DuckDB recomputes every cosine (cross-engine float
+        # check); keep rows: each planted copy has a lower-id near-dup at
+        # cosine ≈ 1 → kept set = the originals, exactly. Sentinel -1s on
+        # keep rows, never NULLs (pandas NULL-int → NaN degradation).
+        "sim_embed_dedup": """
             WITH corpus AS (
                 SELECT vec_id, embedding FROM embeddings
                 UNION ALL
@@ -1654,13 +1735,25 @@ def oracle_sql() -> dict[str, str]:
                            AS cosine
                 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             )
-            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            SELECT 'pair' AS kind, id_a, id_b, round(cosine, 6) AS cosine
             FROM s WHERE cosine >= 0.95
+            UNION ALL
+            SELECT 'keep' AS kind, vec_id AS id_a,
+                   CAST(-1 AS BIGINT) AS id_b, CAST(-1.0 AS DOUBLE) AS cosine
+            FROM embeddings
         """,
-        # each planted copy has a lower-id near-dup at cosine ≈ 1 → kept
-        # set = the originals, exactly
-        "sim_dedup_keep": """
-            SELECT vec_id FROM embeddings
+        # every vector's one semantic dup is its exact copy (same k-means
+        # cell guaranteed; natural cosine ceiling ~0.51 < 0.95 threshold)
+        "semdedup": """
+            WITH corpus AS (
+                SELECT vec_id FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 FROM embeddings
+            )
+            SELECT vec_id, CAST(1 AS BIGINT) AS n_sem_dups,
+                   CAST(1.0 AS DOUBLE) AS max_dup_cosine,
+                   (vec_id < 100000) AS kept
+            FROM corpus
         """,
         # fake decode replayed at the byte level: frame ids are
         # sha256(payload || ascii suffix), payloads are utf-8 of text
@@ -1946,8 +2039,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact replay of repetition_signals: word/2-gram counts via
         # parallel-unnest explodes, dup positions = sum of counts >= 2
-        "text_repetition": """
-            WITH w AS (
+        # merged gate + repetition signals, one per-doc row, no filter:
+        # the verdict rides along as passes_gopher
+        "gopher_gate": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                       CAST(floor(length(replace(text, ' ', '')) * 100
+                            / len(string_split(text, ' '))) AS BIGINT)
+                           AS avg_word_len_x100,
+                       CAST(floor(len(list_filter(string_split(text, ' '),
+                                w -> regexp_matches(w, '[a-zA-Z]'))) * 100
+                            / len(string_split(text, ' '))) AS BIGINT)
+                           AS alpha_word_ratio_x100,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                w -> w = 'a' OR w = 'the')) AS BIGINT)
+                           AS stopword_hits
+                FROM documents
+            ),
+            w AS (
                 SELECT doc_id, string_split(text, ' ') AS ws,
                        len(string_split(text, ' ')) AS n
                 FROM documents
@@ -1977,8 +2087,12 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_pos
                 FROM gc GROUP BY doc_id
             )
-            SELECT w.doc_id,
-                   CAST(w.n AS BIGINT) AS n_words,
+            SELECT f.doc_id, f.n_words, f.avg_word_len_x100,
+                   f.alpha_word_ratio_x100, f.stopword_hits,
+                   (f.n_words BETWEEN 20 AND 100000
+                    AND f.avg_word_len_x100 BETWEEN 200 AND 1000
+                    AND f.alpha_word_ratio_x100 >= 80
+                    AND f.stopword_hits >= 2) AS passes_gopher,
                    CAST(floor(ws.top * 10000 / w.n) AS BIGINT)
                        AS top_word_frac_x10000,
                    CAST(floor(ws.n_distinct * 10000 / w.n) AS BIGINT)
@@ -1986,31 +2100,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(COALESCE(dup.dup_pos, 0) * 10000
                               / greatest(w.n - 1, 1)) AS BIGINT)
                        AS dup_2gram_frac_x10000
-            FROM w
-            JOIN ws ON w.doc_id = ws.doc_id
-            LEFT JOIN dup ON w.doc_id = dup.doc_id
+            FROM f
+            JOIN w ON f.doc_id = w.doc_id
+            JOIN ws ON f.doc_id = ws.doc_id
+            LEFT JOIN dup ON f.doc_id = dup.doc_id
         """,
-        "gopher_gate": r"""
-            WITH f AS (
+        # quality_lm: the corpus IS the language model — gram strings are
+        # rebuilt here while Spark only ever sees 64-bit gram hashes (a
+        # cross-representation check); familiarity is int/int IEEE division
+        # in both engines
+        "quality_lm": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000,
+                       array_to_string(list_transform(range(12),
+                           i -> 'gib' || doc_id || '_' || i), ' ')
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n
+                FROM corpus
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(greatest(n - 1, 1)),
+                               i -> array_to_string(
+                                   list_slice(ws, i + 1, i + 2), ' ')
+                           )) AS gram
+                    FROM w
+                )
+            ),
+            df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+            per AS (
                 SELECT doc_id,
-                       len(string_split(text, ' ')) AS n_words,
-                       CAST(floor(length(replace(text, ' ', '')) * 100
-                            / len(string_split(text, ' '))) AS BIGINT)
-                           AS avg_word_len_x100,
-                       CAST(floor(len(list_filter(string_split(text, ' '),
-                                w -> regexp_matches(w, '[a-zA-Z]'))) * 100
-                            / len(string_split(text, ' '))) AS BIGINT)
-                           AS alpha_word_ratio_x100,
-                       CAST(len(list_filter(string_split(text, ' '),
-                                w -> w = 'a' OR w = 'the')) AS BIGINT)
-                           AS stopword_hits
-                FROM documents
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_rare,
+                       CAST(SUM(df) AS BIGINT) AS sum_df
+                FROM g JOIN df USING (gram) GROUP BY 1
             )
-            SELECT * FROM f
-            WHERE n_words BETWEEN 20 AND 100000
-              AND avg_word_len_x100 BETWEEN 200 AND 1000
-              AND alpha_word_ratio_x100 >= 80
-              AND stopword_hits >= 2
+            SELECT doc_id, n_grams, n_rare, sum_df,
+                   (n_grams - n_rare) / n_grams AS familiarity,
+                   (n_rare * 2 <= n_grams) AS passes_lm
+            FROM per
         """,
         # doc_fingerprints: whole-text + min-shingle md5 alongside the
         # winnowing stats; the Horner fold (a·B + c) mod P with

@@ -91,6 +91,78 @@ def embedding_dedup_keep(
     ).select(F.col("doc_id").alias("vec_id"))
 
 
+def semdedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+    train: str = "sample",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate pairs:
+    k-means-cluster the corpus embeddings (the IVF coarse quantizer is
+    exactly the published clustering step), then compare pairs WITHIN a
+    cluster only — the published approximation that makes semantic dedup
+    linear-ish: candidate volume is Σ|cell|²/2 ≈ n²/(2·n_cells), so
+    ``n_cells`` must grow with the corpus (SemDeDup uses 50 000 clusters
+    for LAION-440M; rule of thumb n_cells ∝ n keeps per-cell work flat).
+    A near-duplicate pair that straddles a cluster boundary is NOT found —
+    that is the algorithm's documented recall trade-off (asserted in
+    tests), not a defect; exact copies always share a cell (identical
+    vector ⇒ identical nearest centroid). Output: (id_a, id_b, cosine),
+    id_a < id_b, cosine ≥ threshold.
+
+    Scale shape: centroid training never collects corpus vectors
+    (``train="distributed"`` runs per-partition partial Lloyd); cell
+    assignment is one narrow Arrow matmul pass; the self-join shuffles on
+    the cell id. Scoring happens before the (absent) dedup — each pair is
+    generated exactly once, unlike multi-table LSH."""
+    if centroids is None:
+        if train == "distributed":
+            centroids = ivf_centroids_distributed(embeddings, n_cells, dim)
+        else:
+            centroids = ivf_centroids(embeddings, n_cells, dim)
+    cells = _assign_cells(embeddings, centroids, "vec_id")
+    a = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("vec_a"),
+    )
+    b = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vec_b"),
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+    train: str = "sample",
+) -> DataFrame:
+    """SemDeDup keep-list: within-cluster near-dup pairs collapse into
+    connected components; each component keeps its min-id representative.
+    Returns (vec_id,) of kept vectors — the corpus a training pipeline
+    retains after semantic deduplication."""
+    from ocr_project_spark.components import near_dup_keep
+
+    pairs = semdedup_pairs(embeddings, threshold, n_cells, dim, centroids, train)
+    return near_dup_keep(
+        embeddings, pairs.select("id_a", "id_b"), id_col="vec_id"
+    ).select(F.col("doc_id").alias("vec_id"))
+
+
 def _cosine(vec_a, vec_b):
     dot = F.aggregate(
         F.zip_with(vec_a, vec_b, lambda x, y: x * y),

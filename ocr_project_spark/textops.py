@@ -86,6 +86,7 @@ def gopher_gate(
     min_alpha_word_ratio_x100: int = 80,
     min_stopword_hits: int = 2,
     text_col: str = "text",
+    emit_all: bool = False,
 ) -> DataFrame:
     """Gopher-rules-style multi-signal quality gate (word-count bounds, mean
     word length band, fraction of words containing an alphabetic character,
@@ -93,7 +94,9 @@ def gopher_gate(
     training corpus applies after extraction. Pure JVM expressions,
     integer-safe thresholds so a DuckDB oracle replays the gate exactly;
     emits the per-doc features alongside the verdict so the gate is
-    auditable, and filters to survivors."""
+    auditable, and filters to survivors (``emit_all=True`` instead keeps
+    every row and emits the verdict as a ``passes_gopher`` column, for
+    audits that want the rejected rows too)."""
     t = F.col(text_col)
     words = F.split(t, " ")
     n_words = F.size(words)
@@ -105,13 +108,14 @@ def gopher_gate(
     stop_hits = F.size(
         F.filter(words, lambda w: F.array_contains(stop_arr, w))
     ).cast("long")
-    return docs.select(
+    feats = docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         avg_wl.alias("avg_word_len_x100"),
         alpha_ratio.alias("alpha_word_ratio_x100"),
         stop_hits.alias("stopword_hits"),
-    ).where(
+    )
+    passes = (
         (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words)
         & (F.col("avg_word_len_x100") >= min_avg_word_len_x100)
@@ -119,6 +123,9 @@ def gopher_gate(
         & (F.col("alpha_word_ratio_x100") >= min_alpha_word_ratio_x100)
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
+    if emit_all:
+        return feats.withColumn("passes_gopher", passes)
+    return feats.where(passes)
 
 
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -611,6 +618,68 @@ def decontaminate(
         F.broadcast(bad.where("contaminated").select("doc_id")),
         "doc_id",
         "left_anti",
+    )
+
+
+def gram_lm_scores(
+    docs: DataFrame,
+    n: int = 2,
+    rare_df: int = 1,
+    max_rare_num: int = 1,
+    max_rare_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency n-gram language-model scoring — the engine analog of
+    CCNet's (Wenzek et al. 2020) KenLM perplexity filter: instead of an
+    external LM, the corpus itself is the model. Each document is scored by
+    how familiar its word ``n``-grams are corpus-wide:
+
+    - ``n_grams``  — distinct word n-grams in the document,
+    - ``n_rare``   — of those, grams whose document frequency ≤ ``rare_df``
+      (seen in no other document at the default): the OOV-mass analog,
+    - ``sum_df``   — total document frequency over the document's grams
+      (the unnormalized familiarity mass),
+    - ``familiarity`` — (n_grams − n_rare) / n_grams, int/int division so a
+      DuckDB oracle replays it bit-for-bit,
+    - ``passes_lm`` — rare mass at most max_rare_num/max_rare_den of the
+      grams, decided by integer cross-multiplication (no float threshold):
+      gibberish/boilerplate-free prose shares its grams with the rest of
+      the corpus; machine noise does not.
+
+    Scale shape: one shuffle-free Arrow pass hashes grams
+    (:func:`gram_hashes` — gram strings never materialize), then the
+    classic inverted-df pipeline: groupBy(gram_hash) with map-side partial
+    aggregation → hash join of gram rows against the df table (both sides
+    partitioned by gram_hash, exchange reused) → groupBy(doc_id) rollup.
+    Every shuffled row is 16 bytes; the text payloads never shuffle. The
+    gram pass is evaluated twice (df build + join probe) — at 100 TB,
+    persist or checkpoint ``gram_hashes`` output if the scan dominates."""
+    grams = gram_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    df_tab = grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        grams.join(df_tab, "gram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") <= rare_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_rare",
+        "sum_df",
+        ((F.col("n_grams") - F.col("n_rare")) / F.col("n_grams")).alias(
+            "familiarity"
+        ),
+        (
+            F.col("n_rare") * F.lit(max_rare_den)
+            <= F.col("n_grams") * F.lit(max_rare_num)
+        ).alias("passes_lm"),
     )
 
 

@@ -170,3 +170,45 @@ def test_embedding_dedup_keep_drops_planted_copies(spark):
     kept = {r["vec_id"] for r in embedding_dedup_keep(corpus, 0.95).collect()}
     originals = {r["vec_id"] for r in emb.collect()}
     assert kept == originals
+
+def test_semdedup_drops_planted_copies(spark):
+    """SemDeDup end-to-end: exact copies land in their original's k-means
+    cell (identical vector -> identical nearest centroid) and are dropped;
+    the kept set is exactly the originals."""
+    from ocr_project_spark.similarity import semdedup_keep
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    kept = {r["vec_id"] for r in semdedup_keep(corpus, 0.95, n_cells=8).collect()}
+    originals = {r["vec_id"] for r in emb.collect()}
+    assert kept == originals
+
+
+def test_semdedup_is_cluster_scoped(spark):
+    """The published SemDeDup approximation: a near-dup pair that straddles
+    a cluster boundary is NOT found (and survives dedup), while the same
+    pair inside one cluster is. Centroids pinned so the cell split is
+    exact."""
+    from ocr_project_spark.similarity import semdedup_keep, semdedup_pairs
+
+    centroids = np.array([[1.0, 0.0], [0.6, 0.8]])
+    rows = [
+        (1, [1.0, 0.0]),   # cell 0
+        (2, [0.8, 0.6]),   # cell 1 (cos vs c1 = 0.8 < 0.96 vs c2)
+        (3, [0.8, 0.6]),   # cell 1, exact copy of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semdedup_pairs(df, threshold=0.7, centroids=centroids)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # cos(v1, v2) = 0.8 >= 0.7 but the pair crosses clusters -> absent;
+    # the in-cluster exact copy is found
+    assert got == {(2, 3)}
+    kept = {
+        r["vec_id"]
+        for r in semdedup_keep(df, threshold=0.7, centroids=centroids).collect()
+    }
+    assert kept == {1, 2}

@@ -538,3 +538,55 @@ def test_gram_hashes_matches_string_shingles(spark, documents):
     # determinism across repartition (executor-independent hashing)
     again = gram_hashes(docs.repartition(7), n)
     assert again.exceptAll(got_df).count() == 0 and got_df.exceptAll(again).count() == 0
+
+
+def test_gram_lm_scores_crafted(spark):
+    """Corpus-frequency LM scoring: docs sharing their bigrams corpus-wide
+    score familiarity 1.0 and pass; a doc of corpus-unique bigrams scores
+    0.0 and fails; a mixed doc lands exactly at the integer-ratio values."""
+    from ocr_project_spark.textops import gram_lm_scores
+
+    rows = [
+        (1, "the cat sat down"),
+        (2, "the cat sat down"),       # exact repeat: every gram df=2
+        (3, "qq1 qq2 qq3 qq4"),        # every gram unique -> all rare
+        (4, "the cat qq5 qq6"),        # grams: 'the cat' df=3, rest df=1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gram_lm_scores(docs, n=2).collect()}
+    assert got[1]["n_grams"] == 3 and got[1]["n_rare"] == 0
+    assert got[1]["familiarity"] == 1.0 and got[1]["passes_lm"]
+    assert got[2]["sum_df"] == 7  # 'the cat' df=3 (doc 4 too), others df=2
+    assert got[3]["n_rare"] == 3 and got[3]["familiarity"] == 0.0
+    assert not got[3]["passes_lm"]
+    # doc 4: 'the cat' df=3, 'cat qq5' df=1, 'qq5 qq6' df=1
+    assert got[4]["n_grams"] == 3 and got[4]["n_rare"] == 2
+    assert got[4]["sum_df"] == 5
+    assert got[4]["familiarity"] == 1 / 3 and not got[4]["passes_lm"]
+
+
+def test_gram_lm_scores_short_doc_whole_text_gram(spark):
+    """A document shorter than n words contributes its single whole-text
+    gram (mirroring gram_hashes), so two identical one-word docs are
+    mutually familiar."""
+    from ocr_project_spark.textops import gram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gram_lm_scores(docs, n=2).collect()}
+    assert got[1]["n_grams"] == 1 and got[1]["n_rare"] == 0 and got[1]["passes_lm"]
+    assert got[3]["n_rare"] == 1 and not got[3]["passes_lm"]
+
+
+def test_gopher_gate_emit_all_matches_filter(spark, documents):
+    """emit_all=True must agree row-for-row with the filtering default."""
+    from ocr_project_spark.textops import gopher_gate
+
+    survivors = {r["doc_id"] for r in gopher_gate(documents).collect()}
+    flagged = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in gopher_gate(documents, emit_all=True).collect()
+    }
+    assert len(flagged) == documents.count()
+    assert {d for d, p in flagged.items() if p} == survivors
