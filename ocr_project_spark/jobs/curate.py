@@ -2,7 +2,7 @@
 cleaning pipeline a web-text training run applies after dedup —
 
     line dedup -> C4 line filter -> PII redaction
-              -> benchmark decontamination -> quality gate
+              -> benchmark decontamination -> quality gate -> LM gate
 
 Each stage is optional (flag-gated) and the stage order is the one the
 public pipelines use: structural cleanup first (repeated-line removal
@@ -67,6 +67,13 @@ def parse_args(argv=None):
         action="store_true",
         help="keep only documents passing the length/word-shape gate",
     )
+    p.add_argument(
+        "--lm-gate",
+        action="store_true",
+        help="keep only documents whose word n-grams are corpus-familiar "
+        "(corpus-frequency LM gate, the CCNet perplexity-filter analog)",
+    )
+    p.add_argument("--lm-ngram", type=int, default=2)
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
 
@@ -131,6 +138,18 @@ def main(argv=None, spark=None) -> None:
             )
             n = docs.count()
             print(f"curate: quality gate kept {n} documents")
+        if args.lm_gate:
+            from ocr_project_spark.textops import gram_lm_scores
+
+            docs = docs.join(
+                gram_lm_scores(docs, n=args.lm_ngram)
+                .where("passes_lm")
+                .select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            n = docs.count()
+            print(f"curate: LM gate kept {n} documents")
 
         docs.write.mode("overwrite").parquet(args.out)
         n_out = spark.read.parquet(args.out).count()

@@ -505,10 +505,12 @@ def gram_hashes(
     from numpy.lib.stride_tricks import sliding_window_view
 
     coef = np.empty(n, dtype=np.uint64)
-    c = np.uint64(1)
+    c = 1
     for j in range(n):
         coef[j] = c
-        c = c * np.uint64(1099511628211)  # FNV-64 prime (odd -> invertible)
+        # FNV-64 prime (odd -> invertible); Python-int mod-2^64 avoids the
+        # (intended but noisy) numpy overflow warning
+        c = (c * 1099511628211) % (1 << 64)
 
     def _grams(batches):
         for pdf in batches:

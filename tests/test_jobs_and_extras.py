@@ -282,3 +282,30 @@ def test_curate_cli_c4_clean(spark, tmp_path):
     }
     assert {r["doc_id"]: r["text"] for r in got.collect()} == want
     assert set(got.columns) == {"doc_id", "text", "lang"}
+
+
+def test_curate_cli_lm_gate(spark, tmp_path):
+    """jobs/curate.py --lm-gate: corpus-unique-bigram gibberish docs are
+    dropped, corpus-familiar prose survives."""
+    from ocr_project_spark.jobs.curate import main as curate_main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    base = spark.read.parquet(f"{c.SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    gib = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("gib"), F.col("doc_id").cast("string"), F.lit(f"_{i}"))
+            for i in range(12)
+        ],
+    )
+    planted = base.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), gib.alias("text")
+    )
+    base.unionByName(planted).write.parquet(src)
+
+    curate_main(["--documents", src, "--out", out, "--lm-gate"], spark=spark)
+    got_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got_ids == {r["doc_id"] for r in base.collect()}

@@ -206,3 +206,34 @@ def test_line_removal_no_cartesian_and_partial_aggs(spark, documents):
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_gram_lm_scores_bounded_exchanges(spark, documents):
+    """quality_lm's inverted-df pipeline shuffles 16-byte gram rows only:
+    groupBy(gram_hash) df build, the df join probe, and the per-doc rollup
+    — never a cartesian product, and the text payloads never exchange."""
+    from ocr_project_spark.textops import gram_lm_scores
+
+    plan = plan_of(gram_lm_scores(documents))
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(plan, "Exchange") <= 4
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_semdedup_pairs_single_cell_exchange(spark):
+    """SemDeDup's candidate join shuffles on the cell id — an equi-join,
+    never a cartesian product (pinned centroids so no training job runs
+    at plan-build time)."""
+    import numpy as np
+
+    from ocr_project_spark.similarity import semdedup_pairs
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(
+        semdedup_pairs(df, threshold=0.9, centroids=np.array([[1.0, 0.0], [0.0, 1.0]]))
+    )
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
