@@ -144,12 +144,17 @@ def main() -> None:
     )
     from ocr_project_spark.operators.lineage import health_rollup, lineage_rows
     from ocr_project_spark.pipeline import run_extraction
-    from ocr_project_spark.similarity import brute_force_topk, lsh_topk
+    from ocr_project_spark.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        semdedup_keep,
+    )
     from ocr_project_spark.textops import (
         c4_line_filter,
         decontaminate,
         fingerprints,
         gopher_gate,
+        gram_lm_scores,
         lang_id,
         normalize_text,
         quality_scores,
@@ -270,6 +275,15 @@ def main() -> None:
     timed(
         "corpus_mix",
         lambda: sample_corpus_mix(docs, {"en": 5, "zh": 2, "de": 2}).count(),
+    )
+    # late round-4 ops: corpus-frequency LM scoring (inverted-df pipeline)
+    # and SemDeDup (k-means cluster-scoped semantic dedup + components)
+    timed("quality_lm", lambda: gram_lm_scores(docs).count())
+    timed(
+        "semdedup",
+        lambda: semdedup_keep(
+            emb.select("vec_id", "embedding"), threshold=0.95, n_cells=16
+        ).count(),
     )
 
     spark.stop()
