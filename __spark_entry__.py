@@ -590,19 +590,64 @@ def q_dedup_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(prefix)
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_project_spark.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(_dedup_corpus_de(spark, sf_dir), threshold=0.8)
-
-
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs; verified output equals exact Jaccard
-    (128 hashes / 32 bands ⇒ candidate recall ≈ 1 at j ≥ 0.8)."""
-    from ocr_project_spark.dedup import minhash_near_dup_pairs
+    """MinHash-LSH near-dup pairs UNION the exact all-pairs n-gram Jaccard
+    baseline, family-tagged (round-4 merge of the dedup_minhash and
+    dedup_ngram_jaccard queries): both run on the same planted-dup corpus
+    at the same threshold, so the row sets must be identical up to the tag
+    — the LSH ≡ exact equivalence (candidate recall ≈ 1 at 128 hashes /
+    32 bands at j ≥ 0.8) asserted inside one driver row."""
+    from ocr_project_spark.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
 
-    return minhash_near_dup_pairs(
-        _dedup_corpus_de(spark, sf_dir), threshold=0.8, num_hashes=128, bands=32
+    corpus = _dedup_corpus_de(spark, sf_dir)
+    mh = minhash_near_dup_pairs(corpus, threshold=0.8, num_hashes=128, bands=32)
+    ex = ngram_jaccard_pairs(corpus, threshold=0.8)
+    return mh.select(F.lit("minhash").alias("family"), "id_a", "id_b", "jaccard").unionByName(
+        ex.select(F.lit("exact").alias("family"), "id_a", "id_b", "jaccard")
+    )
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with a classifier TRAINED IN-ENGINE
+    (classify.py — the DCLM/FineWeb-style stage, as count-based multinomial
+    Naive Bayes so training is exact-integer and partitioning-independent):
+    corpus = documents ('clean') ∪ planted unique-word gibberish ('junk',
+    +100000), train on the even-id half of both populations, classify
+    everything. The oracle replays training AND inference in SQL; only the
+    argmax ships (no float columns) and the minimum argmax margin on this
+    corpus is ≈ 11.8 nats — nine orders above cross-engine libm noise."""
+    from ocr_project_spark.classify import nb_classify
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    gib = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("gib"), F.col("doc_id").cast("string"), F.lit(f"_{i}"))
+            for i in range(12)
+        ],
+    )
+    corpus = docs.select(
+        "doc_id", F.lit("clean").alias("label_true"), "text"
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.lit("junk").alias("label_true"),
+            gib.alias("text"),
+        )
+    )
+    train = corpus.where("doc_id % 2 = 0").select(
+        F.col("label_true").alias("label"), "text"
+    )
+    preds = nb_classify(train, corpus)
+    return (
+        corpus.select("doc_id", "label_true")
+        .join(preds, "doc_id")
+        .select(
+            "doc_id",
+            "label_true",
+            "pred_label",
+            (F.col("label_true") == F.col("pred_label")).alias("correct"),
+        )
     )
 
 
@@ -1243,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "nb_classify": q_nb_classify,
+        "dedup_minhash": q_dedup_minhash,
         "semdedup": q_semdedup,
         "quality_lm": q_quality_lm,
         "sim_embed_dedup": q_sim_embed_dedup,
@@ -1283,9 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backend_compare": q_backend_compare,
         "wet_roundtrip": q_wet_roundtrip,
         # --- dedup families ---
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_simhash": q_dedup_simhash,
         # --- similarity search ---
@@ -1596,7 +1641,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM e UNION ALL SELECT * FROM p
         """,
-        "dedup_ngram_jaccard": _JACCARD_DE_SQL,
+
         "dedup_repeated_ngrams": f"""
             WITH {_DEDUP_CORPUS},
             g AS (
@@ -1618,7 +1663,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the LSH-verified output equals exact Jaccard at ≥0.8 (candidate
         # recall ≈ 1 - 1e-7 at 128 hashes / 32 bands)
-        "dedup_minhash": _JACCARD_DE_SQL,
+        # both families must produce the identical pair set (LSH recall ≈ 1
+        # at these parameters) — asserted by replaying the exact SQL twice
+        "dedup_minhash": f"""
+            SELECT 'minhash' AS family, * FROM ({_JACCARD_DE_SQL})
+            UNION ALL
+            SELECT 'exact' AS family, * FROM ({_JACCARD_DE_SQL})
+        """,
+        # nb_classify: NB training + inference replayed end-to-end in SQL;
+        # only the argmax ships, min margin ≈ 11.8 nats on this corpus
+        "nb_classify": """
+            WITH corpus AS (
+                SELECT doc_id, 'clean' AS label_true, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, 'junk',
+                       array_to_string(list_transform(range(12),
+                           i -> 'gib' || doc_id || '_' || i), ' ')
+                FROM documents
+            ),
+            train AS (
+                SELECT label_true AS label, text FROM corpus WHERE doc_id % 2 = 0
+            ),
+            tok AS (
+                SELECT label, unnest(string_split(text, ' ')) AS word FROM train
+            ),
+            model AS (SELECT label, word, count(*) AS c FROM tok GROUP BY 1, 2),
+            vocab AS (SELECT count(DISTINCT word) AS v FROM tok),
+            classes AS (
+                SELECT p.label, p.n_docs, t.n_tokens,
+                       (SELECT v FROM vocab) AS vocab
+                FROM (SELECT label, count(*) AS n_docs FROM train GROUP BY 1) p
+                JOIN (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens
+                      FROM model GROUP BY 1) t USING (label)
+            ),
+            ntrain AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM classes),
+            dcount AS (
+                SELECT doc_id, word, count(*) AS k
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM corpus)
+                GROUP BY 1, 2
+            ),
+            matched AS (
+                SELECT d.doc_id, m.label, SUM(d.k * ln(m.c + 1)) AS ms
+                FROM dcount d JOIN model m USING (word) GROUP BY 1, 2
+            ),
+            ndoc AS (
+                SELECT doc_id, label_true,
+                       len(string_split(text, ' ')) AS n
+                FROM corpus
+            ),
+            scored AS (
+                SELECT nd.doc_id, nd.label_true, c.label,
+                       ln(c.n_docs * 1.0 / (SELECT n FROM ntrain))
+                         + COALESCE(m.ms, 0)
+                         - nd.n * ln(c.n_tokens + c.vocab) AS score
+                FROM ndoc nd CROSS JOIN classes c
+                LEFT JOIN matched m
+                  ON m.doc_id = nd.doc_id AND m.label = c.label
+            ),
+            r AS (
+                SELECT doc_id, label_true, label, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, label ASC) AS rk
+                FROM scored
+            )
+            SELECT doc_id, label_true, label AS pred_label,
+                   (label_true = label) AS correct
+            FROM r WHERE rk = 1
+        """,
         # byte-exact replay of remove_repeated_spans: same full-8-gram
         # inventory (parallel unnest zips starts with grams), same covered
         # positions, same ordered single-space rejoin

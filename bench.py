@@ -285,6 +285,19 @@ def main() -> None:
             emb.select("vec_id", "embedding"), threshold=0.95, n_cells=16
         ).count(),
     )
+    # in-engine NB classifier: train on half the corpus (lang labels),
+    # classify all of it — the model-based filtering stage end-to-end
+    from ocr_project_spark.classify import nb_classify
+
+    timed(
+        "nb_classify",
+        lambda: nb_classify(
+            docs.where("doc_id % 2 = 0").select(
+                F.col("lang").alias("label"), "text"
+            ),
+            docs,
+        ).count(),
+    )
 
     spark.stop()
 

@@ -1,0 +1,127 @@
+"""Model-based document classification trained INSIDE the engine.
+
+The public webtext pipelines (C4's badwords filter aside) increasingly gate
+corpora with a trained text classifier — fastText models in DCLM and
+FineWeb-Edu, logistic quality scorers in GPT-3's WebText recipe. This
+module provides that stage without any external ML runtime: a multinomial
+Naive Bayes classifier whose TRAINING and INFERENCE are both pure
+DataFrame aggregations, so the same code trains on 10^3 or 10^12 rows.
+
+Why Naive Bayes (and not SGD logistic regression): the sufficient
+statistics are COUNTS — per-(class, word) token counts, per-class totals,
+class priors. Counts are exact integers, accumulate with map-side partial
+aggregation in any order, and are independent of partitioning — so
+training is deterministic (a float-SGD loop is order-dependent and would
+break the repo's determinism invariant), embarrassingly parallel, and
+one shuffle. Laplace-smoothed log-likelihood inference is a token join
+against the model plus one per-(doc, class) rollup.
+
+Scale shape (100 TB corpus, vocabulary too big to broadcast):
+
+- train: explode tokens -> groupBy(label, word) with partial aggregation;
+  class totals and vocabulary size are tiny follow-up aggs.
+- infer: per-doc word counts (groupBy(doc_id, word)) hash-join the model
+  on word — co-partitioned by word, never a cartesian — then one
+  groupBy(doc_id, label) rollup. The only rows that shuffle are
+  (word, count) pairs; document text never leaves the scan stage.
+- the per-class scaffold (every doc x every label) joins from a broadcast
+  of the per-class totals (|labels| rows).
+
+Reference parity note: the reference system (zakir0101/ocr-project) has no
+classifier — this is part of the training-data surface the build brief
+adds beyond the reference's §2 inventory, like dedup and ANN search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def nb_train(
+    docs: DataFrame, label_col: str = "label", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial Naive Bayes model: returns ``(model, classes)``.
+
+    ``model``: one row per (label, word) with the token count ``c`` —
+    the distributed sufficient statistic, NOT collected anywhere.
+    ``classes``: one tiny row per label with the class prior numerator
+    (``n_docs``), the class token total (``n_tokens``), and the shared
+    training vocabulary size (``vocab``) — broadcastable by construction.
+    """
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    model = toks.groupBy("label", "word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = model.select("word").distinct().count()
+    totals = model.groupBy("label").agg(F.sum("c").alias("n_tokens"))
+    priors = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    classes = priors.join(totals, "label").withColumn("vocab", F.lit(vocab))
+    return model, classes
+
+
+def nb_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    classes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Laplace-smoothed log-likelihood argmax per document.
+
+    score(d, l) = ln(n_docs_l / N) + Σ_tokens ln((c(l,w)+1) / (T_l+V))
+
+    computed as ``ln prior + Σ_matched k·ln(c+1) − n_d·ln(T_l+V)`` — an
+    out-of-vocabulary token contributes ln(0+1) = 0 to the matched sum, so
+    OOV handling is implicit. Ties (can only happen between classes with
+    identical priors, totals, and matched evidence) break on label
+    ascending — deterministic. Output: (doc_id, pred_label).
+    """
+    n_train = classes.agg(F.sum("n_docs")).collect()[0][0]
+    dcounts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    matched = (
+        dcounts.join(model, "word")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("k") * F.log(F.col("c") + 1)).alias("matched_sum"))
+    )
+    ndoc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens_doc"),
+    )
+    scaffold = ndoc.crossJoin(F.broadcast(classes))
+    scored = scaffold.join(matched, ["doc_id", "label"], "left").select(
+        "doc_id",
+        "label",
+        (
+            F.log(F.col("n_docs") / F.lit(float(n_train)))
+            + F.coalesce("matched_sum", F.lit(0.0))
+            - F.col("n_tokens_doc") * F.log(F.col("n_tokens") + F.col("vocab"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where("__r = 1")
+        .select("doc_id", F.col("label").alias("pred_label"))
+    )
+
+
+def nb_classify(
+    train_docs: DataFrame,
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on ``train_docs`` and classify ``docs`` in one call."""
+    model, classes = nb_train(train_docs, label_col, text_col)
+    return nb_predict(docs, model, classes, text_col, id_col)
