@@ -47,18 +47,24 @@ def nb_train(
     ``classes``: one tiny row per label with the class prior numerator
     (``n_docs``), the class token total (``n_tokens``), and the shared
     training vocabulary size (``vocab``) — broadcastable by construction.
-    """
+
+    Fully lazy: the vocabulary size joins in as a broadcast 1-row
+    aggregate rather than a driver-side ``.count()``, so calling this
+    function launches zero Spark jobs — train + predict compose into one
+    job when the prediction is finally acted on."""
     toks = docs.select(
         F.col(label_col).alias("label"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
     model = toks.groupBy("label", "word").agg(F.count(F.lit(1)).alias("c"))
-    vocab = model.select("word").distinct().count()
+    vocab_df = (
+        model.select("word").distinct().agg(F.count(F.lit(1)).alias("vocab"))
+    )
     totals = model.groupBy("label").agg(F.sum("c").alias("n_tokens"))
     priors = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    classes = priors.join(totals, "label").withColumn("vocab", F.lit(vocab))
+    classes = priors.join(totals, "label").crossJoin(F.broadcast(vocab_df))
     return model, classes
 
 
@@ -78,8 +84,13 @@ def nb_predict(
     OOV handling is implicit. Ties (can only happen between classes with
     identical priors, totals, and matched evidence) break on label
     ascending — deterministic. Output: (doc_id, pred_label).
+
+    The prior denominator joins in as a broadcast 1-row aggregate — no
+    driver-side ``.collect()``, so scoring is one lazy plan end-to-end.
     """
-    n_train = classes.agg(F.sum("n_docs")).collect()[0][0]
+    n_train_df = classes.agg(
+        F.sum("n_docs").cast("double").alias("__n_train")
+    )
     dcounts = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -97,12 +108,14 @@ def nb_predict(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens_doc"),
     )
-    scaffold = ndoc.crossJoin(F.broadcast(classes))
+    scaffold = ndoc.crossJoin(
+        F.broadcast(classes.crossJoin(F.broadcast(n_train_df)))
+    )
     scored = scaffold.join(matched, ["doc_id", "label"], "left").select(
         "doc_id",
         "label",
         (
-            F.log(F.col("n_docs") / F.lit(float(n_train)))
+            F.log(F.col("n_docs") / F.col("__n_train"))
             + F.coalesce("matched_sum", F.lit(0.0))
             - F.col("n_tokens_doc") * F.log(F.col("n_tokens") + F.col("vocab"))
         ).alias("score"),
