@@ -19,9 +19,9 @@ exact copies, whose co-location in every bucket/cell is a mathematical
 property of the index (identical input ⇒ identical hash), making the
 expected answer exact SQL; corpus_percentiles is exact because the GK
 sketch is exact below its accuracy bound. The round-3 cluster queries
-(dedup_minhash_keep / dedup_minhash_clusters) replay connected components
+(dedup_minhash_components) replay connected components
 with a recursive-CTE transitive closure over the exact-jaccard pair set;
-media_png / media_y4m predict the REAL PNG/Y4M decodes from planted pixel
+media_png / media_video predict the REAL PNG/Y4M decodes from planted pixel
 formulas; wet_roundtrip closes the loop extraction → WET sink → WARC
 parse against ground truth, byte-for-byte.
 """
@@ -836,6 +836,25 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style diversity pruning over the NATURAL embeddings table (no
+    planting): cells come from a pinned standard-basis quantizer (centroid
+    j = e_j, j < 4), so the oracle replays assignment exactly — the dot
+    with a basis vector is the raw coordinate, identical in both engines
+    (multiplications by 0/1 and zero-additions are exact in IEEE754) —
+    and the per-cell prototypicality ranking + integer-ratio drop rule
+    (most prototypical 1/4 of each cell dropped) end-to-end in SQL. A
+    genuine full-replay oracle, not a planted invariant."""
+    import numpy as np
+
+    from ocr_project_spark.similarity import prototype_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return prototype_prune(emb, np.eye(64)[:4], drop_num=1, drop_den=4)
+
+
 def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings ∪ two planted exact copies per vector (+100000, +200000).
     An exact copy shares every SRP-LSH bucket and every IVF cell with its
@@ -890,13 +909,23 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
-def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal 1→N frame sampling through the real Arrow plumbing
-    (deterministic fake decode — no codec libs in this container): media
-    payload = utf-8 of documents.text, duration a pure function of doc_id,
-    so frame counts AND content ids (sha256(payload || '#frame-' || i)) are
-    SQL-replayable."""
-    from ocr_project_spark.multimodal import sample_frames
+def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both video paths in one tagged row set (round-4 merge of the
+    media_frames and media_y4m queries). kind='sampled': 1→N frame
+    sampling through the real Arrow plumbing on the deterministic fake
+    decode (payload = utf-8 of documents.text, duration a pure function
+    of doc_id — frame counts AND content ids sha256(payload || '#frame-i')
+    are SQL-replayable). kind='y4m': REAL YUV4MPEG2 container decode —
+    synthesized payloads whose per-frame luma planes are a pure integer
+    function of (id, frame); the oracle predicts frame count, dimensions
+    and Σluma while the engine earns them by walking the real container
+    (multimodal.decode_y4m; every_ms=100 at 10 fps samples every frame).
+    Sentinels (-1 / '') instead of NULLs — pandas NULL-int degradation."""
+    from ocr_project_spark.multimodal import (
+        frame_pixel_stats,
+        sample_frames,
+        synthesize_y4m_media,
+    )
 
     docs = _docs(spark, sf_dir)
     media = docs.select(
@@ -912,12 +941,26 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("meta"),
     )
-    out = sample_frames(media, every_ms=1000, decode="fake")
-    return out.select(
+    sampled = sample_frames(media, every_ms=1000, decode="fake").select(
+        F.lit("sampled").alias("kind"),
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         "frame_sha256",
+        F.lit(-1).cast("long").alias("width"),
+        F.lit(-1).cast("long").alias("height"),
+        F.lit(-1).cast("long").alias("luma_sum"),
     )
+    y4m_media = synthesize_y4m_media(docs)
+    y4m = frame_pixel_stats(y4m_media, every_ms=100, decode="strict").select(
+        F.lit("y4m").alias("kind"),
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.lit("").alias("frame_sha256"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("luma_sum").cast("long").alias("luma_sum"),
+    )
+    return sampled.unionByName(y4m)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,20 +1010,6 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_jpeg_media(_docs(spark, sf_dir))
     return image_pixel_stats(media, decode="strict")
-
-
-def q_media_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-frame decode, differentially checked: synthesized
-    YUV4MPEG2 payloads whose per-frame luma planes are a pure integer
-    function of (id, frame), strict-decoded and per-frame-sampled; the
-    oracle predicts frame count, dimensions and Σluma per sampled frame
-    with plain SQL while the engine earns them by walking the real
-    container (multimodal.decode_y4m). every_ms=100 at 10 fps samples
-    every frame, so the sampling arithmetic is covered too."""
-    from ocr_project_spark.multimodal import frame_pixel_stats, synthesize_y4m_media
-
-    media = synthesize_y4m_media(_docs(spark, sf_dir))
-    return frame_pixel_stats(media, every_ms=100, decode="strict")
 
 
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1288,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "diversity_prune": q_diversity_prune,
+        "media_video": q_media_video,
         "nb_classify": q_nb_classify,
         "dedup_minhash": q_dedup_minhash,
         "semdedup": q_semdedup,
@@ -1338,9 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         # --- multimodal ---
-        "media_frames": q_media_frames,
         "media_features": q_media_features,
-        "media_y4m": q_media_y4m,
         "media_audio": q_media_audio,
     }
 
@@ -1867,9 +1896,10 @@ def oracle_sql() -> dict[str, str]:
                    (vec_id < 100000) AS kept
             FROM corpus
         """,
-        # fake decode replayed at the byte level: frame ids are
-        # sha256(payload || ascii suffix), payloads are utf-8 of text
-        "media_frames": """
+        # merged video row set: kind='sampled' replays the fake decode at
+        # the byte level (frame ids = sha256(payload || ascii suffix));
+        # kind='y4m' predicts the REAL container decode's per-frame sums
+        "media_video": """
             WITH m AS (
                 SELECT doc_id AS media_id, text,
                        500 + 700 * (doc_id % 5) AS duration_ms
@@ -1881,10 +1911,70 @@ def oracle_sql() -> dict[str, str]:
                            0, greatest(duration_ms // 1000, 1) - 1
                        )) AS frame_idx
                 FROM m
+            ),
+            ids AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 24 AS w,
+                       6 + (doc_id // 5) % 18 AS h,
+                       2 + doc_id % 4 AS nf
+                FROM documents
+            ),
+            xs AS (SELECT g AS x FROM generate_series(0, 31) q(g)),
+            ys AS (SELECT g AS y FROM generate_series(0, 23) q(g)),
+            ts AS (SELECT g AS t FROM generate_series(0, 5) q(g)),
+            sums AS (
+                SELECT i.media_id, ts.t,
+                       SUM((i.media_id + x + 2 * y + 3 * ts.t) % 256) AS s
+                FROM ids i, xs, ys, ts
+                WHERE xs.x < i.w AND ys.y < i.h AND ts.t < i.nf
+                GROUP BY i.media_id, ts.t
             )
-            SELECT media_id, frame_idx,
-                   sha256(text || '#frame-' || frame_idx) AS frame_sha256
+            SELECT 'sampled' AS kind, media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   sha256(text || '#frame-' || frame_idx) AS frame_sha256,
+                   CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+                   CAST(-1 AS BIGINT) AS luma_sum
             FROM f
+            UNION ALL
+            SELECT 'y4m', i.media_id, CAST(s.t AS BIGINT), '',
+                   CAST(i.w AS BIGINT), CAST(i.h AS BIGINT), CAST(s.s AS BIGINT)
+            FROM ids i JOIN sums s USING (media_id)
+        """,
+        # diversity_prune: full SQL replay — basis-centroid dots are raw
+        # coordinates (exact in both engines), ranking on the rounded
+        # prototypicality with vec_id tiebreak, integer-ratio drop rule
+        "diversity_prune": """
+            WITH cent AS (
+                SELECT * FROM (VALUES (0, 1), (1, 2), (2, 3), (3, 4)) t(cell, idx)
+            ),
+            dots AS (
+                SELECT e.vec_id, c.cell,
+                       CAST(e.embedding[c.idx] AS DOUBLE) AS dot,
+                       sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[])) AS nrm
+                FROM embeddings e CROSS JOIN cent c
+            ),
+            assign AS (
+                SELECT vec_id, cell, dot, nrm,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cell ASC) AS rk
+                FROM dots
+            ),
+            a AS (
+                SELECT vec_id, cell, round(dot / nrm, 6) AS prototypicality
+                FROM assign WHERE rk = 1
+            ),
+            r AS (
+                SELECT vec_id, cell, prototypicality,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY prototypicality DESC,
+                                                   vec_id ASC) AS rk,
+                       count(*) OVER (PARTITION BY cell) AS n
+                FROM a
+            )
+            SELECT vec_id, CAST(cell AS BIGINT) AS cell, prototypicality,
+                   (rk * 4 > n * 1) AS kept
+            FROM r
         """,
         # fake audio features: every number derives from sha256 digest
         # byte ranges, replayed here from the hex nibbles
@@ -1951,35 +2041,6 @@ def oracle_sql() -> dict[str, str]:
                              ELSE s.s3 END
                         AS BIGINT) AS pixel_sum,
                    i.media_id % 31 = 7 AS corrupt
-            FROM ids i JOIN sums s USING (media_id)
-        """,
-        # media_y4m: the engine walks real Y4M containers; the oracle
-        # replays the planted luma formula (synthesize_y4m_media) with
-        # static series bounds matching the synthesis (w ≤ 31, h ≤ 23,
-        # frames ≤ 5; every_ms=100 at 10 fps ⇒ frame_idx = sample k).
-        "media_y4m": """
-            WITH ids AS (
-                SELECT doc_id AS media_id,
-                       8 + doc_id % 24 AS w,
-                       6 + (doc_id // 5) % 18 AS h,
-                       2 + doc_id % 4 AS nf
-                FROM documents
-            ),
-            xs AS (SELECT g AS x FROM generate_series(0, 31) q(g)),
-            ys AS (SELECT g AS y FROM generate_series(0, 23) q(g)),
-            ts AS (SELECT g AS t FROM generate_series(0, 5) q(g)),
-            sums AS (
-                SELECT i.media_id, ts.t,
-                       SUM((i.media_id + x + 2 * y + 3 * ts.t) % 256) AS s
-                FROM ids i, xs, ys, ts
-                WHERE xs.x < i.w AND ys.y < i.h AND ts.t < i.nf
-                GROUP BY i.media_id, ts.t
-            )
-            SELECT i.media_id,
-                   CAST(s.t AS BIGINT) AS frame_idx,
-                   CAST(i.w AS BIGINT) AS width,
-                   CAST(i.h AS BIGINT) AS height,
-                   CAST(s.s AS BIGINT) AS luma_sum
             FROM ids i JOIN sums s USING (media_id)
         """,
         "media_audio": f"""

@@ -163,6 +163,62 @@ def semdedup_keep(
     ).select(F.col("doc_id").alias("vec_id"))
 
 
+def prototype_prune(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    drop_num: int = 1,
+    drop_den: int = 4,
+) -> DataFrame:
+    """D4-style diversity pruning (Tirumala et al. 2023 "D4", building on
+    Sorscher et al. 2022 "Beyond neural scaling laws"): rank each example
+    by PROTOTYPICALITY — cosine to its cluster centroid — and drop the
+    most prototypical ``drop_num/drop_den`` of every cluster: the
+    near-centroid examples are the redundant ones; the cluster's fringe
+    carries the diversity worth training on.
+
+    Deterministic end-to-end: the keep rule is integer cross-multiplication
+    (rank·den > n_cell·num — no float threshold), prototypicality is
+    rounded to 6 decimals BEFORE ranking (ties break on vec_id ascending),
+    and assignment ties break on the lowest cell index, so the kept set is
+    a pure function of (embeddings, centroids).
+
+    Scale shape: cell assignment is one narrow Arrow matmul pass; the
+    centroid table broadcasts (n_cells rows); the rank runs per-cell — one
+    hash exchange on the cell id. Cells number in the thousands at corpus
+    scale, so per-cell partitions stay small; for degenerate mega-cells
+    use the threshold-sampling pattern of ``cap_per_host(approximate=True)``.
+    Output: (vec_id, cell, prototypicality, kept)."""
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(int(j), [float(x) for x in centroids[j]]) for j in range(len(centroids))],
+        "cell int, centroid array<double>",
+    )
+    cells = _assign_cells(embeddings, centroids, "vec_id")
+    scored = cells.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "cell",
+        F.round(
+            _cosine(F.col("embedding").cast("array<double>"), F.col("centroid")), 6
+        ).alias("prototypicality"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("prototypicality"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cell")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "prototypicality",
+            (
+                F.col("__rk") * F.lit(drop_den) > F.col("__n") * F.lit(drop_num)
+            ).alias("kept"),
+        )
+    )
+
+
 def _cosine(vec_a, vec_b):
     dot = F.aggregate(
         F.zip_with(vec_a, vec_b, lambda x, y: x * y),

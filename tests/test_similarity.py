@@ -212,3 +212,39 @@ def test_semdedup_is_cluster_scoped(spark):
         for r in semdedup_keep(df, threshold=0.7, centroids=centroids).collect()
     }
     assert kept == {1, 2}
+
+
+def test_prototype_prune_drop_counts_and_determinism(spark, embeddings):
+    """D4-style pruning: every cell drops exactly floor(n/4) of its most
+    prototypical members (integer-ratio rule), the output partitions the
+    corpus, and the kept set is invariant under repartitioning."""
+    from ocr_project_spark.similarity import ivf_centroids, prototype_prune
+
+    emb = embeddings.select("vec_id", "embedding")
+    cents = ivf_centroids(emb, n_cells=8, dim=64, sample_fraction=1.0)
+    out = prototype_prune(emb, cents, drop_num=1, drop_den=4).collect()
+    assert len(out) == emb.count()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rows in by_cell.items():
+        n = len(rows)
+        dropped = [r for r in rows if not r["kept"]]
+        assert len(dropped) == n // 4
+        # the dropped ones are the MOST prototypical of the cell
+        min_dropped = min((r["prototypicality"] for r in dropped), default=None)
+        if min_dropped is not None:
+            kept_higher = [
+                r
+                for r in rows
+                if r["kept"] and r["prototypicality"] > min_dropped
+            ]
+            assert kept_higher == []
+
+    again = {
+        (r["vec_id"], r["kept"])
+        for r in prototype_prune(
+            emb.repartition(7), cents, drop_num=1, drop_den=4
+        ).collect()
+    }
+    assert again == {(r["vec_id"], r["kept"]) for r in out}
