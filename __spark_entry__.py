@@ -42,6 +42,17 @@ _MALFORMED = "doc_id % 97 = 13"
 _N_PARAS = "cast(ceil(len(string_split(text, ' ')) / 8.0) as bigint)"
 _N_PAGES = f"least(1 + doc_id % 3, greatest({_N_PARAS}, 1))"
 
+# url spam scoring fragments (url_canonical oracle): occurrence counts of
+# the pinned fragment list + the TLD regex, built from the SAME constants
+# the operator uses so the lists cannot drift apart
+from ocr_project_spark.functions.urls import SPAM_TLDS, SPAM_URL_WORDS  # noqa: E402
+
+_SPAM_SUM = " + ".join(
+    f"CAST((length(su) - length(replace(su, '{w}', ''))) / {len(w)} AS BIGINT)"
+    for w in SPAM_URL_WORDS
+)
+_SPAM_TLD_RE = r"\.(" + "|".join(SPAM_TLDS) + r")$"
+
 # markdown surfaces (shared by markdown_identity / unified_fields /
 # prompt_modes oracles; all assume a CTE exposing doc_id, words, n_paras,
 # n_pages)
@@ -443,11 +454,20 @@ def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization: every url is deterministically messied (a
-    fragment, a tracking-only query, an uppercased host, or an explicit
-    :443 port, cycling on doc_id) and must canonicalize back to exactly
-    the clean url the oracle rebuilds from doc_id arithmetic."""
-    from ocr_project_spark.functions.urls import canonicalize_urls
+    """URL canonicalization + RefinedWeb-style URL spam filtering in one
+    row set. Every url is deterministically messied (a fragment, a
+    tracking-only query, an uppercased host, or an explicit :443 port,
+    cycling on doc_id) and must canonicalize back to exactly the clean url
+    the oracle rebuilds from doc_id arithmetic. The spam signals then score
+    a deterministically spam-planted variant (doc_id % 9 = 4 → spam-word
+    path; = 7 → digit-heavy host on a spam TLD; else the clean url), so
+    both firing and non-firing paths of every signal are oracle-replayed
+    arithmetically (occurrence counts, TLD regex, integer digit-majority
+    gate, path depth)."""
+    from ocr_project_spark.functions.urls import (
+        canonicalize_urls,
+        url_spam_scores,
+    )
 
     pages = _pages(spark, sf_dir)
     prefix = F.regexp_extract("url", r"^(https://[^/]*)", 1)
@@ -462,8 +482,41 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.concat(F.upper(prefix), rest))
         .otherwise(F.concat(prefix, F.lit(":443"), rest))
     )
-    out = canonicalize_urls(pages.withColumn("url", messy))
-    return out.select("doc_id", "url")
+    out = canonicalize_urls(pages.withColumn("url", messy)).select(
+        "doc_id", "url"
+    )
+    s = F.col("doc_id") % 9
+    spam_variant = (
+        F.when(s == 4, F.concat(F.col("url"), F.lit("/casino-poker-bonus")))
+        .when(
+            s == 7,
+            F.concat(
+                F.lit("https://x"),
+                F.col("doc_id").cast("string"),
+                F.lit("77.xyz/page"),
+            ),
+        )
+        .otherwise(F.col("url"))
+    )
+    scored = url_spam_scores(
+        out.select(
+            "doc_id",
+            F.col("url").alias("canonical_url"),
+            spam_variant.alias("url"),
+        ),
+        keep=("canonical_url",),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("canonical_url").alias("url"),
+        "n_spam_words",
+        "bad_tld",
+        "n_host_digits",
+        "host_len",
+        "digit_heavy_host",
+        "path_depth",
+        "url_suspect",
+    )
 
 
 def q_host_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,12 +799,53 @@ def q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_project_spark.similarity import brute_force_topk
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four ANN families under one contract, tagged by family (round-4
+    merge of sim_topk_brute/lsh/ivf, + the new IVF-PQ index):
+
+    - 'brute'  — exact cosine top-5 over the NATURAL corpus; DuckDB
+      recomputes every cosine and ranks (cross-engine float check);
+    - 'lsh'    — SRP-LSH bucket→candidate→score→rank over the planted-copy
+      corpus (top-2 = the two exact copies, a structural guarantee);
+    - 'ivf'    — IVF with DISTRIBUTED Lloyd training, same planted answer;
+    - 'ivfpq'  — IVF-PQ (Jégou et al. 2011): PQ codes ride the inverted
+      lists instead of raw vectors, JVM-side ADC scoring + exact re-rank;
+      an identical vector shares the query's cell AND codes, so its ADC is
+      the global minimum and re-rank pins cosine 1.0 — same planted answer.
+
+    General-recall behavior of every approximate family vs brute force is
+    asserted in tests (test_similarity, test_round4b)."""
+    from ocr_project_spark.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = brute_force_topk(emb, emb.where("vec_id < 10"), k=5)
-    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    qs = emb.where("vec_id < 10")
+    corpus = _planted_ann_corpus(spark, sf_dir)
+    legs = [
+        ("brute", brute_force_topk(emb, qs, k=5)),
+        ("lsh", lsh_topk(corpus, qs, k=2, n_planes=4, n_tables=8)),
+        (
+            "ivf",
+            ivf_topk(
+                corpus, qs, k=2, n_cells=16, n_probe=4, train="distributed"
+            ),
+        ),
+        ("ivfpq", ivfpq_topk(corpus, qs, k=2, n_cells=16, n_probe=4)),
+    ]
+    out = None
+    for family, df in legs:
+        tagged = df.select(
+            F.lit(family).alias("family"),
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 def q_sim_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,41 +966,6 @@ def _planted_ann_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
         )
     )
-
-
-def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH top-k over the planted-copy corpus: the full bucket →
-    candidate-join → exact-score → rank path with an exact expected answer
-    (see _planted_ann_corpus). General-recall behavior vs brute force is
-    asserted in tests."""
-    from ocr_project_spark.similarity import lsh_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    corpus = _planted_ann_corpus(spark, sf_dir)
-    out = lsh_topk(corpus, emb.where("vec_id < 10"), k=2, n_planes=4, n_tables=8)
-    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
-
-
-def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k (k-means coarse quantizer, n_probe cells per query) over
-    the planted-copy corpus: exercises DISTRIBUTED centroid training
-    (per-partition partial Lloyd aggregation — the driver never sees corpus
-    vectors), inverted-list assignment, probing, and ranking with an exact
-    expected answer (see _planted_ann_corpus). Recall vs brute force is
-    asserted in tests/test_jobs_and_extras.py."""
-    from ocr_project_spark.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    corpus = _planted_ann_corpus(spark, sf_dir)
-    out = ivf_topk(
-        corpus,
-        emb.where("vec_id < 10"),
-        k=2,
-        n_cells=16,
-        n_probe=4,
-        train="distributed",
-    )
-    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
 def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,6 +1157,79 @@ def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"), gib.alias("text")
     )
     return gram_lm_scores(docs.unionByName(planted), n=2)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weight data selection (Xie et al. 2023) over
+    documents ∪ planted gibberish (+100000 on doc_id % 5 = 0, the
+    quality_lm planting), with the doc_id % 5 = 0 natural slice as the
+    TARGET corpus. Gibberish bigrams never appear in the target ⇒
+    sum_target_df = 0 ⇒ weight exactly 0.0 and not selected; natural docs
+    share bigrams with the target slice and score positive weights. The
+    integers are exact, the weight is a fixed tree of IEEE double
+    divisions (bit-identical cross-engine), and the selected gate is
+    DECIMAL cross-multiplication — the oracle rebuilds gram STRINGS in
+    DuckDB (cross-representation, like contamination/quality_lm) and
+    replays everything."""
+    from ocr_project_spark.textops import importance_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    gib = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("gib"), F.col("doc_id").cast("string"), F.lit(f"_{i}"))
+            for i in range(12)
+        ],
+    )
+    planted = docs.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), gib.alias("text")
+    )
+    corpus = docs.unionByName(planted)
+    target = docs.where("doc_id % 5 = 0")
+    out = importance_weights(corpus, target, n=2)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "sum_raw_df",
+        "sum_target_df",
+        "weight",
+        "selected",
+    )
+
+
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style Bloom-filter seen-set (Soldaini et al. 2024) for
+    cross-snapshot dedup: the filter is built from the doc_id % 3 ≠ 0
+    slice's keys, then EVERY key probes it. Output per document:
+    ``probably_seen`` (the filter's answer), ``exact_seen`` (ground
+    truth), ``false_positive`` (their disagreement — zero false negatives
+    is the Bloom guarantee, and the driver hash-checks it row by row).
+    ``m_bits`` is sized small (2048) so real false positives are exercised
+    and inventoried at the driver SF rather than idealized away. The
+    oracle rebuilds the filter and every probe in SQL from the identical
+    md5 arithmetic (hash_split's conv idiom), bit_or words and all."""
+    from ocr_project_spark.bloomset import bloom_build, bloom_probe
+
+    m_bits, k_probes = 2048, 4
+    keys = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("key"),
+    )
+    bloom = bloom_build(
+        keys.where("doc_id % 3 != 0").select("key"),
+        m_bits=m_bits,
+        k_probes=k_probes,
+    )
+    flags = bloom_probe(keys, bloom, m_bits=m_bits, k_probes=k_probes)
+    exact = (F.col("doc_id") % 3 != 0).alias("exact_seen")
+    return flags.select(
+        "doc_id",
+        "probably_seen",
+        exact,
+        (F.col("probably_seen") & ~(F.col("doc_id") % 3 != 0)).alias(
+            "false_positive"
+        ),
+    )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,6 +1449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "sim_topk": q_sim_topk,
+        "dsir_select": q_dsir_select,
+        "bloom_seen": q_bloom_seen,
+        "url_canonical": q_url_canonical,
         "diversity_prune": q_diversity_prune,
         "media_video": q_media_video,
         "nb_classify": q_nb_classify,
@@ -1354,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified_fields": q_unified_fields,
         "prompt_modes": q_prompt_modes,
         "locate_spans": q_locate_spans,
-        "url_canonical": q_url_canonical,
         "latest_capture": q_latest_capture,
         "warc_extract": q_warc_extract,
         "page_selection": q_page_selection,
@@ -1364,10 +1499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_simhash": q_dedup_simhash,
-        # --- similarity search ---
-        "sim_topk_brute": q_sim_topk_brute,
-        "sim_topk_lsh": q_sim_topk_lsh,
-        "sim_topk_ivf": q_sim_topk_ivf,
         # --- multimodal ---
         "media_features": q_media_features,
         "media_audio": q_media_audio,
@@ -1576,16 +1707,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "url_canonical": f"""
-            SELECT doc_id,
-                   'https://'
-                   || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
-                           ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
-                                || '.example.org'
-                      END
-                   || '/' || source || '/doc' || doc_id
-                   || CASE WHEN {_N_PAGES} > 1 THEN '.pdf' ELSE '.html' END
-                       AS url
-            FROM documents
+            WITH u AS (
+                SELECT doc_id,
+                       'https://'
+                       || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                               ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                    || '.example.org'
+                          END
+                       || '/' || source || '/doc' || doc_id
+                       || CASE WHEN {_N_PAGES} > 1 THEN '.pdf' ELSE '.html' END
+                           AS url
+                FROM documents
+            ),
+            v AS (
+                SELECT doc_id, url,
+                       lower(CASE
+                           WHEN doc_id % 9 = 4
+                               THEN url || '/casino-poker-bonus'
+                           WHEN doc_id % 9 = 7
+                               THEN 'https://x' || doc_id || '77.xyz/page'
+                           ELSE url
+                       END) AS su
+                FROM u
+            ),
+            h AS (
+                SELECT doc_id, url, su,
+                       regexp_extract(su,
+                           '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1) AS host,
+                       regexp_replace(regexp_replace(su,
+                           '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                           '[?#].*$', '') AS path
+                FROM v
+            ),
+            z AS (
+                SELECT doc_id, url,
+                       {_SPAM_SUM} AS n_spam_words,
+                       regexp_matches(host, '{_SPAM_TLD_RE}') AS bad_tld,
+                       CAST(length(host)
+                            - length(regexp_replace(host, '[0-9]', '', 'g'))
+                            AS BIGINT) AS n_host_digits,
+                       CAST(length(host) AS BIGINT) AS host_len,
+                       CAST(length(path) - length(replace(path, '/', ''))
+                            AS BIGINT) AS path_depth
+                FROM h
+            )
+            SELECT doc_id, url, n_spam_words, bad_tld, n_host_digits,
+                   host_len,
+                   n_host_digits * 2 > host_len AS digit_heavy_host,
+                   path_depth,
+                   (n_spam_words > 0) OR bad_tld
+                       OR (n_host_digits * 2 > host_len) AS url_suspect
+            FROM z
         """,
         # host_crawl_plan: the capped-url rank replay (same url derivation +
         # deterministic (md5(url), url) rank order as the former host_caps
@@ -1814,7 +1986,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS hamming
             FROM documents WHERE lang = 'de'
         """,
-        "sim_topk_brute": """
+        # sim_topk: 'brute' recomputed cosine-by-cosine in DuckDB; the three
+        # approximate families over the planted-copy corpus where each
+        # query's top-2 are its two exact copies (guaranteed bucket / cell /
+        # PQ-code co-location at cosine 1.0; tie → id asc)
+        "sim_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS vq
                 FROM embeddings WHERE vec_id < 10
@@ -1829,32 +2005,31 @@ def oracle_sql() -> dict[str, str]:
                            / (sqrt(list_dot_product(vq, vq))
                               * sqrt(list_dot_product(vn, vn))) AS cosine
                 FROM q, c WHERE query_id <> neighbor_id
+            ),
+            brute AS (
+                SELECT query_id, rank, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                    FROM s
+                ) WHERE rank <= 5
+            ),
+            planted AS (
+                SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+                       vec_id + 100000 AS neighbor_id
+                FROM embeddings WHERE vec_id < 10
+                UNION ALL
+                SELECT vec_id, CAST(2 AS BIGINT), vec_id + 200000
+                FROM embeddings WHERE vec_id < 10
             )
-            SELECT query_id, rank, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
-                FROM s
-            ) WHERE rank <= 5
-        """,
-        # planted-copy ANN: each query's top-2 are its two exact copies
-        # (guaranteed bucket/cell co-location at cosine 1.0; tie → id asc)
-        "sim_topk_lsh": """
-            SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
-                   vec_id + 100000 AS neighbor_id
-            FROM embeddings WHERE vec_id < 10
+            SELECT 'brute' AS family, query_id, rank, neighbor_id FROM brute
             UNION ALL
-            SELECT vec_id, CAST(2 AS BIGINT), vec_id + 200000
-            FROM embeddings WHERE vec_id < 10
-        """,
-        "sim_topk_ivf": """
-            SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
-                   vec_id + 100000 AS neighbor_id
-            FROM embeddings WHERE vec_id < 10
+            SELECT 'lsh', query_id, rank, neighbor_id FROM planted
             UNION ALL
-            SELECT vec_id, CAST(2 AS BIGINT), vec_id + 200000
-            FROM embeddings WHERE vec_id < 10
+            SELECT 'ivf', query_id, rank, neighbor_id FROM planted
+            UNION ALL
+            SELECT 'ivfpq', query_id, rank, neighbor_id FROM planted
         """,
         # pair rows: DuckDB recomputes every cosine (cross-engine float
         # check); keep rows: each planted copy has a lower-id near-dup at
@@ -2282,6 +2457,108 @@ def oracle_sql() -> dict[str, str]:
         # rebuilt here while Spark only ever sees 64-bit gram hashes (a
         # cross-representation check); familiarity is int/int IEEE division
         # in both engines
+        # dsir_select: cross-representation replay (gram STRINGS rebuilt in
+        # SQL; Spark never materializes them). weight is a fixed tree of
+        # IEEE double divisions over exact integers — bit-identical in both
+        # engines; the selected gate is integer cross-multiplication
+        # (DuckDB promotes to HUGEINT, Spark carries DECIMAL(38,0)).
+        "dsir_select": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000,
+                       array_to_string(list_transform(range(12),
+                           i -> 'gib' || doc_id || '_' || i), ' ')
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n
+                FROM corpus
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(greatest(n - 1, 1)),
+                               i -> array_to_string(
+                                   list_slice(ws, i + 1, i + 2), ' ')
+                           )) AS gram
+                    FROM w
+                )
+            ),
+            tg AS (
+                SELECT doc_id, gram FROM g
+                WHERE doc_id < 100000 AND doc_id % 5 = 0
+            ),
+            rdf AS (SELECT gram, count(*) AS raw_df FROM g GROUP BY 1),
+            tdf AS (SELECT gram, count(*) AS target_df FROM tg GROUP BY 1),
+            rt AS (SELECT count(*) AS raw_total FROM g),
+            tt AS (SELECT count(*) AS target_total FROM tg),
+            per AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_feats,
+                       CAST(sum(raw_df) AS BIGINT) AS sum_raw_df,
+                       CAST(sum(coalesce(target_df, 0)) AS BIGINT)
+                           AS sum_target_df
+                FROM g
+                JOIN rdf USING (gram)
+                LEFT JOIN tdf USING (gram)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_feats, sum_raw_df, sum_target_df,
+                   (CAST(sum_target_df AS DOUBLE)
+                        / CAST(target_total AS DOUBLE))
+                   / (CAST(sum_raw_df AS DOUBLE)
+                        / CAST(raw_total AS DOUBLE)) AS weight,
+                   sum_target_df * raw_total * 2
+                       >= sum_raw_df * target_total * 1 AS selected
+            FROM per, rt, tt
+        """,
+        # bloom_seen: full in-SQL replay of the filter build AND every
+        # probe from the identical md5-position arithmetic (15 hex chars →
+        # 60-bit int → mod m), 32-bit words, bit_or aggregation
+        "bloom_seen": """
+            WITH k AS (
+                SELECT doc_id, 'k' || doc_id AS key FROM documents
+            ),
+            i AS (SELECT unnest(generate_series(0, 3)) AS i),
+            sp AS (
+                SELECT CAST(('0x' || substring(
+                           md5('bloom#' || i || '#' || key), 1, 15))
+                           AS BIGINT) % 2048 AS pos
+                FROM k, i WHERE doc_id % 3 <> 0
+            ),
+            words AS (
+                SELECT pos // 32 AS word_idx,
+                       bit_or(CAST(1 AS BIGINT)
+                              << CAST(pos % 32 AS INTEGER)) AS bits
+                FROM sp GROUP BY 1
+            ),
+            cp AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(
+                           md5('bloom#' || i || '#' || key), 1, 15))
+                           AS BIGINT) % 2048 AS pos
+                FROM k, i
+            ),
+            j AS (
+                SELECT doc_id,
+                       CASE WHEN (CAST(1 AS BIGINT)
+                                  << CAST(pos % 32 AS INTEGER))
+                                 & coalesce(bits, 0) <> 0
+                            THEN 1 ELSE 0 END AS hit
+                FROM cp LEFT JOIN words ON words.word_idx = pos // 32
+            ),
+            f AS (
+                SELECT doc_id, sum(hit) = 4 AS probably_seen
+                FROM j GROUP BY 1
+            )
+            SELECT doc_id, probably_seen,
+                   doc_id % 3 <> 0 AS exact_seen,
+                   probably_seen AND NOT (doc_id % 3 <> 0) AS false_positive
+            FROM f
+        """,
         "quality_lm": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents

@@ -545,3 +545,209 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 10,
+    seed: int = HYPERPLANE_SEED,
+    target_points: int | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space splits
+    into ``m_sub`` subspaces of ``dim/m_sub`` dims and each learns its own
+    ``n_codes``-centroid L2 k-means codebook, so a vector compresses to
+    ``m_sub`` small codes (here 8 codes ≈ 8 bytes vs 256 bytes of floats).
+    Trained like :func:`ivf_centroids` on a bounded seeded sample — k-means
+    needs ~1000·n_codes points per subspace, so the corpus never reaches
+    the driver. Vectors are L2-normalized first (‖q−x‖² = 2−2·cos on the
+    unit sphere, so ADC ranking matches cosine ranking). Deterministic:
+    seeded sample + init, fixed iterations. Shape: (m_sub, n_codes, sub)."""
+    sub = dim // m_sub
+    if sub * m_sub != dim:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    target = target_points or 1000 * n_codes
+    src = embeddings.select("embedding")
+    n = src.count()
+    frac = min(1.0, target / max(n, 1))
+    if frac < 1.0:
+        src = src.sample(fraction=frac, seed=seed)
+    mat = np.array(
+        [r["embedding"] for r in src.limit(4 * target).collect()],
+        dtype=np.float64,
+    )
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, n_codes, sub), dtype=np.float64)
+    for m in range(m_sub):
+        pts = mat[:, m * sub : (m + 1) * sub]
+        cb = pts[rng.choice(len(pts), size=min(n_codes, len(pts)), replace=False)]
+        for _ in range(iters):
+            d = ((pts[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cb)):
+                members = pts[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[m, : len(cb)] = cb
+        if len(cb) < n_codes:
+            books[m, len(cb) :] = cb[-1]
+    return books
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS ``IVFx,PQy`` index as a
+    DataFrame plan): IVF cells prune candidates exactly like
+    :func:`ivf_topk`, but the inverted lists carry ``m_sub`` PQ codes per
+    vector instead of the raw floats — at 100 TB the shuffled candidate
+    row shrinks from dim·8 bytes to ~m_sub bytes, which is the difference
+    between an in-memory index and a spilling one. Scoring is asymmetric
+    distance (ADC): each query precomputes its subspace-to-codebook
+    distance table, and a candidate's distance is the sum of ``m_sub``
+    table lookups. With ``rerank`` > 0 the ADC shortlist (``k·rerank``
+    candidates per query) is re-scored with exact cosines against the raw
+    vectors — the standard two-stage shape: PQ absorbs the full candidate
+    volume, the expensive exact pass touches only ``k·rerank`` rows per
+    query (``rerank=0`` ranks by raw ADC).
+
+    The ADC path is pure DataFrame algebra — candidate codes posexplode to
+    (pair, subspace, code) rows, hash-join the broadcast per-query distance
+    table (queries·m_sub·n_codes tiny rows), and a partial-aggregated
+    groupBy sums the lookups — so the hot path never leaves the JVM; Arrow
+    passes only assign cells/codes (one narrow pass each). Ranking: ADC
+    asc, id asc. Exact-copy guarantee: an identical vector shares the
+    query's cell and codes, so its ADC is the global minimum — the planted
+    driver oracle ranks copies first; recall vs brute force is asserted in
+    tests."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, dim)
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m_sub, n_codes, dim)
+    m_books, K, sub = codebooks.shape
+
+    def _corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE fused pass: normalize, assign cell, PQ-encode — the corpus is
+        # scanned once and only (id, cell, m_sub codes) ever leaves Python
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = (mat @ centroids.T).argmax(axis=1)
+            codes = np.empty((len(mat), m_books), dtype=np.int32)
+            for m in range(m_books):
+                pts = mat[:, m * sub : (m + 1) * sub]
+                d = ((pts[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"],
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    inverted = embeddings.select("vec_id", "embedding").mapInPandas(
+        _corpus, schema="neighbor_id long, cell int, codes array<int>"
+    )
+
+    def _qtab(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per query: probed cells + the full ADC distance table
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            matn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            order = np.argsort(-(matn @ centroids.T), axis=1)[:, :n_probe]
+            cells, dists = [], []
+            for qi in range(len(matn)):
+                tab = np.empty((m_books, K), dtype=np.float64)
+                for m in range(m_books):
+                    qsub = matn[qi, m * sub : (m + 1) * sub]
+                    tab[m] = ((codebooks[m] - qsub[None, :]) ** 2).sum(axis=1)
+                cells.append(order[qi].astype(np.int32))
+                dists.append(tab.reshape(-1))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"],
+                    "cells": cells,
+                    "dtab": dists,
+                }
+            )
+
+    qrows = queries.select("vec_id", "embedding").mapInPandas(
+        _qtab, schema="query_id long, cells array<int>, dtab array<double>"
+    )
+    query_cells = qrows.select(
+        "query_id", F.explode("cells").alias("cell")
+    )
+    dtab = qrows.select(
+        "query_id", F.posexplode("dtab").alias("pos", "d")
+    ).select(
+        "query_id",
+        (F.col("pos") / K).cast("int").alias("m"),
+        (F.col("pos") % K).cast("int").alias("code"),
+        "d",
+    )
+
+    cands = inverted.join(F.broadcast(query_cells), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    if not rerank:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id")
+        )
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+    corpus_vecs = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("vec_n"),
+    )
+    query_vecs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vec_q"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(corpus_vecs, "neighbor_id")
+        .join(F.broadcast(query_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("vec_q"), F.col("vec_n")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -930,3 +930,109 @@ def c4_line_filter(
         F.size("__lines").cast("long").alias("n_lines"),
         F.size("__kept").cast("long").alias("n_lines_kept"),
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n: int = 2,
+    n_buckets: int | None = None,
+    theta_num: int = 1,
+    theta_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by how much more its n-gram features look like a
+    small high-quality TARGET corpus than like the raw corpus itself, then
+    gate on the weight — the published recipe for carving a Wikipedia-like
+    (or domain-specific) slice out of a web crawl.
+
+    Features are distinct word ``n``-grams (:func:`gram_hashes` — one
+    shuffle-free Arrow pass, gram strings never materialize). With
+    ``n_buckets`` set, features hash into that many buckets exactly as the
+    paper's hashed n-gram model (collisions intentional — the bucketed
+    model is what scales the target table to a fixed size); unbucketed
+    (the default) every distinct gram is its own feature, which keeps the
+    oracle cross-representation-exact (DuckDB rebuilds gram STRINGS and
+    counts document frequencies — representation-independent, like the
+    contamination and quality_lm oracles).
+
+    Per document:
+
+    - ``n_feats``        — distinct features in the document,
+    - ``sum_raw_df``     — total raw-corpus document frequency over them,
+    - ``sum_target_df``  — total target-corpus document frequency,
+    - ``weight``         — (sum_target_df/target_total)/(sum_raw_df/raw_total):
+      the ratio-of-sums importance estimate. Pure IEEE double division of
+      exact integers with a fixed expression tree, so both engines produce
+      the identical bits (no transcendentals anywhere),
+    - ``selected``       — weight ≥ theta_num/theta_den, decided by exact
+      DECIMAL(38,0) cross-multiplication (no float threshold):
+      sum_target_df·raw_total·theta_den ≥ sum_raw_df·target_total·theta_num.
+
+    Scale shape: the raw side is the standard inverted-df pipeline
+    (groupBy(feature) partial agg → hash join back → per-doc rollup, every
+    shuffled row 16 bytes); the target side is small by construction (a
+    curated slice) so its df table broadcasts; the two corpus-total scalars
+    join in via broadcast. Payload text never shuffles."""
+    feat = (
+        (F.pmod(F.col("gram_hash"), F.lit(n_buckets))).alias("feat")
+        if n_buckets
+        else F.col("gram_hash").alias("feat")
+    )
+    raw = gram_hashes(docs, n=n, text_col=text_col, id_col=id_col).select(
+        "doc_id", feat
+    )
+    # target keeps its real doc ids: target_df is a document frequency
+    # (how many target docs contain the feature), symmetric with raw_df —
+    # unlike the contamination check, which wants set membership only
+    tgt = gram_hashes(
+        target_docs, n=n, text_col=text_col, id_col=id_col
+    ).select(feat)
+    raw_df = raw.groupBy("feat").agg(F.count(F.lit(1)).alias("raw_df"))
+    tgt_df = tgt.groupBy("feat").agg(F.count(F.lit(1)).alias("target_df"))
+    raw_total = raw.groupBy().agg(F.count(F.lit(1)).alias("raw_total"))
+    tgt_total = tgt.groupBy().agg(F.count(F.lit(1)).alias("target_total"))
+    per = (
+        raw.join(raw_df, "feat")
+        .join(F.broadcast(tgt_df), "feat", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("raw_df").cast("long").alias("sum_raw_df"),
+            F.sum(F.coalesce("target_df", F.lit(0)))
+            .cast("long")
+            .alias("sum_target_df"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        per.join(F.broadcast(raw_total))
+        .join(F.broadcast(tgt_total))
+        .select(
+            "doc_id",
+            "n_feats",
+            "sum_raw_df",
+            "sum_target_df",
+            (
+                (
+                    F.col("sum_target_df").cast("double")
+                    / F.col("target_total").cast("double")
+                )
+                / (
+                    F.col("sum_raw_df").cast("double")
+                    / F.col("raw_total").cast("double")
+                )
+            ).alias("weight"),
+            (
+                dec(F.col("sum_target_df"))
+                * dec(F.col("raw_total"))
+                * dec(F.lit(theta_den))
+                >= dec(F.col("sum_raw_df"))
+                * dec(F.col("target_total"))
+                * dec(F.lit(theta_num))
+            ).alias("selected"),
+        )
+    )
