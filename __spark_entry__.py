@@ -53,6 +53,28 @@ _SPAM_SUM = " + ".join(
 )
 _SPAM_TLD_RE = r"\.(" + "|".join(SPAM_TLDS) + r")$"
 
+# mojibake repair chain (text_normalize oracle): the SAME pinned table the
+# operator applies, rendered as chr() concatenations so no control byte or
+# NBSP has to survive a SQL string literal
+from ocr_project_spark.textops import MOJIBAKE_TABLE  # noqa: E402
+
+
+def _sql_chr(s: str) -> str:
+    return " || ".join(f"chr({ord(c)})" for c in s)
+
+
+_MOJIBAKE_SQL = "orig"
+for _bad, _good in MOJIBAKE_TABLE:
+    _MOJIBAKE_SQL = (
+        f"replace({_MOJIBAKE_SQL}, {_sql_chr(_bad)}, {_sql_chr(_good)})"
+    )
+
+# the planted mojibake segment of q_text_normalize, chr()-rendered
+_MOJI_SEG_SQL = _sql_chr(
+    " don\u00e2\u20ac\u2122t \u00e2\u20ac\u0153ok"
+    "\u00e2\u20ac\x9d caf\u00c3\u00a9 \u00e2\u20ac\u201d"
+)
+
 # markdown surfaces (shared by markdown_identity / unified_fields /
 # prompt_modes oracles; all assume a CTE exposing doc_id, words, n_paras,
 # n_pages)
@@ -1289,13 +1311,16 @@ def q_corpus_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unicode + whitespace canonicalization over a corpus planted with a
-    messy suffix (CRLF, decomposed combining accents, a double space, a BEL
-    control char, NBSP): CR/control/space passes are JVM regexes; NFC
-    composition — no Spark built-in exists — is one Arrow-batched
-    ``mapInPandas`` pass (vectorized ``Series.str.normalize``). The oracle
-    replays the exact chain with DuckDB ``regexp_replace(..., 'g')`` +
-    ``nfc_normalize``, so the two engines' Unicode tables are checked
+    """Unicode + whitespace canonicalization WITH mojibake repair over a
+    corpus planted with a messy suffix (cp1252 mojibake — curly quote,
+    double quote via the unmapped 0x9d byte, Ã© and an em dash — then
+    CRLF, decomposed combining accents, a double space, a BEL control
+    char, NBSP): the mojibake chain and CR/control/space passes are JVM
+    literal/regex projections; NFC composition — no Spark built-in exists
+    — is one Arrow-batched ``mapInPandas`` pass (vectorized
+    ``Series.str.normalize``). The oracle replays the exact chain with
+    DuckDB ``replace`` + ``regexp_replace(..., 'g')`` + ``nfc_normalize``,
+    so the two engines' replace semantics AND Unicode tables are checked
     against each other byte-for-byte."""
     from ocr_project_spark.textops import normalize_text
 
@@ -1303,12 +1328,18 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(
             "text",
+            # cp1252 mojibake: donâ€™t → don’t, â€œokâ€(9d) → “ok”,
+            # cafÃ© → café, â€” → em dash
+            F.lit(
+                " don\u00e2\u20ac\u2122t \u00e2\u20ac\u0153ok"
+                "\u00e2\u20ac\x9d caf\u00c3\u00a9 \u00e2\u20ac\u201d"
+            ),
             # decomposed i+U+0308 / e+U+0301 (NFC must compose),
             # precomposed é (NFC identity), BEL (stripped), NBSP (→ space)
             F.lit("\r\nnai\u0308ve  caf\u00e9 e\u0301tude\x07\u00a0fin"),
         ).alias("text"),
     )
-    return normalize_text(messy)
+    return normalize_text(messy, fix_mojibake=True)
 
 
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2331,10 +2362,11 @@ def oracle_sql() -> dict[str, str]:
         # plain-literal patterns; 'g' = replace-all like Spark) then
         # DuckDB's nfc_normalize vs the engine's Python unicodedata NFC —
         # a cross-engine check of the Unicode composition tables
-        "text_normalize": """
+        "text_normalize": f"""
             WITH m AS (
                 SELECT doc_id,
-                       text || chr(13) || chr(10) || 'nai' || chr(776)
+                       text || {_MOJI_SEG_SQL}
+                            || chr(13) || chr(10) || 'nai' || chr(776)
                             || 've  caf' || chr(233) || ' e' || chr(769)
                             || 'tude' || chr(7) || chr(160) || 'fin' AS orig
                 FROM documents
@@ -2345,7 +2377,8 @@ def oracle_sql() -> dict[str, str]:
                            regexp_replace(
                                regexp_replace(
                                    regexp_replace(
-                                       regexp_replace(orig, '\\r\\n|\\r',
+                                       regexp_replace({_MOJIBAKE_SQL},
+                                                      '\\r\\n|\\r',
                                                       chr(10), 'g'),
                                        chr(160), ' ', 'g'),
                                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',

@@ -763,24 +763,64 @@ def lang_id(
     return pages.select("doc_id", pred.alias("pred_lang"))
 
 
+# Pinned mojibake repairs: the UTF-8-bytes-decoded-as-cp1252 sequences of
+# the characters that dominate real web mojibake (curly quotes, dashes,
+# ellipsis, the common Latin accents), each mapped back to the character
+# whose encoding produced it — the deterministic core of ftfy-style
+# encoding repair (Speer 2019), as a FIXED ordered replace chain so a SQL
+# oracle replays it byte-for-byte. Heuristic by nature: a document that
+# legitimately contains "Ã©" is "repaired" too — the standard, documented
+# ambiguity of mojibake fixing (the sequences are vanishingly rare as
+# intentional text on the web).
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # â€™ → ’
+    ("â€˜", "‘"),  # â€˜ → ‘
+    ("â€œ", "“"),  # â€œ → “
+    ("â€\x9d", "”"),  # â€ + 0x9d (unmapped in cp1252) → ”
+    ("â€“", "–"),  # â€“ → –
+    ("â€”", "—"),  # â€” → —
+    ("â€¦", "…"),  # â€¦ → …
+    ("Ã©", "é"),  # Ã© → é
+    ("Ã¨", "è"),  # Ã¨ → è
+    ("Ãª", "ê"),  # Ãª → ê
+    ("Ã\xa0", "à"),  # Ã + NBSP → à
+    ("Ã§", "ç"),  # Ã§ → ç
+    ("Ã±", "ñ"),  # Ã± → ñ
+    ("Ã¶", "ö"),  # Ã¶ → ö
+    ("Ã¼", "ü"),  # Ã¼ → ü
+    ("Ã¤", "ä"),  # Ã¤ → ä
+)
+
+
 def normalize_text(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fix_mojibake: bool = False,
 ) -> DataFrame:
     """Unicode + whitespace normalization — the canonicalization pass a
     web-text pipeline applies before any hashing/dedup so that visually
-    identical strings hash identically: CRLF/CR → LF, NBSP → space, strip
-    C0 control characters (keeping LF and TAB), collapse runs of 2+ spaces,
-    then Unicode NFC composition. Output (doc_id, text, changed).
+    identical strings hash identically: optional mojibake repair
+    (``fix_mojibake`` — the pinned :data:`MOJIBAKE_TABLE` replace chain,
+    run FIRST so repaired NBSP/control bytes flow into the passes below),
+    CRLF/CR → LF, NBSP → space, strip C0 control characters (keeping LF
+    and TAB), collapse runs of 2+ spaces, then Unicode NFC composition.
+    Output (doc_id, text, changed).
 
     The structural passes are pure JVM regexp projections (whole-stage
     codegen); NFC has no Spark built-in, so it runs as ONE narrow
     Arrow-batched pass (``mapInPandas`` + vectorized
     ``Series.str.normalize``) — no shuffle anywhere, embarrassingly
     parallel over the scan at any scale. The DuckDB oracle replays the
-    exact chain with ``regexp_replace(..., 'g')`` + ``nfc_normalize``."""
+    exact chain with ``replace`` + ``regexp_replace(..., 'g')`` +
+    ``nfc_normalize``."""
     import pandas as pd  # noqa: F401 (schema hint for readers)
 
-    t = F.col(text_col)
+    orig = F.col(text_col)
+    t = orig
+    if fix_mojibake:
+        for bad, good in MOJIBAKE_TABLE:
+            t = F.replace(t, F.lit(bad), F.lit(good))
     cleaned = F.regexp_replace(t, "\r\n|\r", "\n")
     cleaned = F.regexp_replace(cleaned, "\u00a0", " ")
     cleaned = F.regexp_replace(
@@ -789,7 +829,7 @@ def normalize_text(
     cleaned = F.regexp_replace(cleaned, "  +", " ")
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        t.alias("__orig"),
+        orig.alias("__orig"),
         cleaned.alias("__cleaned"),
     )
 

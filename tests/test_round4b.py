@@ -292,3 +292,41 @@ def test_ivfpq_plan_jvm_adc(spark, embeddings):
     # one fused corpus pass (cell + codes) + the tiny query-table pass
     # (evaluated twice: probe cells and distance tables)
     assert n_nodes(plan, "MapInPandas") <= 3
+
+
+# ------------------------------------------------------------ mojibake
+
+
+def test_mojibake_repair_pinned_cases(spark):
+    from ocr_project_spark.textops import normalize_text
+
+    rows = spark.createDataFrame(
+        [
+            (1, "donâ€™t stop"),
+            (2, "â€œokâ€\x9d then"),
+            (3, "cafÃ© naÃ¯ve?"),  # Ã¯ NOT in the table
+            (4, "dash â€” here"),
+            (5, "clean ascii text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["changed"])
+        for r in normalize_text(rows, fix_mojibake=True).collect()
+    }
+    assert out[1] == ("don’t stop", True)
+    assert out[2] == ("“ok” then", True)
+    # é repaired; Ã¯ (outside the pinned table) passes through untouched
+    assert out[3] == ("café naÃ¯ve?", True)
+    assert out[4] == ("dash — here", True)
+    assert out[5] == ("clean ascii text", False)
+
+
+def test_mojibake_off_by_default(spark):
+    from ocr_project_spark.textops import normalize_text
+
+    rows = spark.createDataFrame(
+        [(1, "donâ€™t")], ["doc_id", "text"]
+    )
+    out = normalize_text(rows).collect()[0]
+    assert out["text"] == "donâ€™t" and not out["changed"]
