@@ -1436,10 +1436,12 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 heuristic cleaning (Raffel et al.) over a planted multi-line
     corpus built in pure SQL: the doc's own prose, nav chrome with no
     terminal punctuation (dropped), a 1-word line (dropped), a surviving
-    parametrized sentence, and cohort-planted lorem-ipsum (doc_id % 11 == 3)
-    and curly-brace code (doc_id % 13 == 4) lines that flag the whole
-    document. The oracle replays line split, the word-count + terminal-
-    punctuation lambda, the rebuild, and the document flags."""
+    parametrized sentence, and cohort-planted lorem-ipsum (doc_id % 11 == 3),
+    curly-brace code (doc_id % 13 == 4), and blocked-word (doc_id % 17 == 5
+    — C4's bad-words page filter) lines that flag the whole document. The
+    oracle replays line split, the word-count + terminal-punctuation
+    lambda, the rebuild, and every document flag including the
+    word-boundary blocklist match."""
     from ocr_project_spark.textops import c4_line_filter
 
     d = F.col("doc_id")
@@ -1461,6 +1463,9 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 d % 13 == 4, F.lit("function f() { return 1; }")
             ).otherwise(F.lit("Closing sentence with sufficient words present?")),
+            F.when(
+                d % 17 == 5, F.lit("Win the casino jackpot tonight, friends!")
+            ).otherwise(F.lit("A perfectly ordinary final sentence sits here.")),
         ).alias("text"),
     )
     return c4_line_filter(docs)
@@ -2763,7 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         # same line lambda (>=5 words AND terminal-punctuation regex —
         # Java regex and RE2 agree on the anchored class), rebuild, and
         # document flags (lorem-ipsum / brace / >=3 kept lines).
-        "c4_clean": """
+        "c4_clean": r"""
             WITH m AS (
                 SELECT doc_id,
                        text || chr(10) || 'Home | About | Contact'
@@ -2778,6 +2783,10 @@ def oracle_sql() -> dict[str, str]:
                             || CASE WHEN doc_id % 13 = 4
                                     THEN 'function f() { return 1; }'
                                     ELSE 'Closing sentence with sufficient words present?'
+                               END || chr(10)
+                            || CASE WHEN doc_id % 17 = 5
+                                    THEN 'Win the casino jackpot tonight, friends!'
+                                    ELSE 'A perfectly ordinary final sentence sits here.'
                                END AS orig
                 FROM documents
             ),
@@ -2787,14 +2796,19 @@ def oracle_sql() -> dict[str, str]:
                                    x -> len(string_split(x, ' ')) >= 5
                                         AND regexp_matches(x, '[.!?"]$'))
                            AS kept_lines,
-                       len(string_split(orig, chr(10))) AS nl
+                       len(string_split(orig, chr(10))) AS nl,
+                       regexp_matches(lower(orig),
+                           '\b(porn|xxx|viagra|casino|jackpot|escort)\b')
+                           AS blocked
                 FROM m
             )
             SELECT doc_id,
                    array_to_string(kept_lines, chr(10)) AS text,
                    (NOT contains(lower(orig), 'lorem ipsum'))
                        AND (NOT contains(orig, '{'))
+                       AND (NOT blocked)
                        AND len(kept_lines) >= 3 AS kept,
+                   blocked,
                    CAST(nl AS BIGINT) AS n_lines,
                    CAST(len(kept_lines) AS BIGINT) AS n_lines_kept
             FROM l

@@ -113,7 +113,7 @@ def main(argv=None, spark=None) -> None:
             docs = _restore(
                 c4_line_filter(docs)
                 .where("kept")
-                .drop("kept", "n_lines", "n_lines_kept")
+                .drop("kept", "blocked", "n_lines", "n_lines_kept")
             )
             n = docs.count()
             print(f"curate: C4 line filter kept {n} documents")

@@ -923,29 +923,52 @@ def sample_corpus_mix(
     )
 
 
+# Default blocked-word list for the C4 page filter — a small, pinned
+# stand-in for the large public blocklist C4 uses (the "bad words" page
+# filter of Raffel et al. 2020 drops any page containing a listed word).
+# Deployments substitute their full list via the parameter; the mechanism
+# (word-boundary, case-insensitive, any hit drops the page) is what this
+# pins, with a SQL-replayable pattern (ASCII words only, so Java regex
+# and DuckDB RE2 agree on every \b boundary).
+BLOCKED_WORDS_DEFAULT: tuple[str, ...] = (
+    "porn",
+    "xxx",
+    "viagra",
+    "casino",
+    "jackpot",
+    "escort",
+)
+
+
 def c4_line_filter(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words_per_line: int = 5,
     min_kept_lines: int = 3,
+    blocked_words: tuple[str, ...] = BLOCKED_WORDS_DEFAULT,
 ) -> DataFrame:
     """C4-style heuristic cleaning (Raffel et al. 2020, the published
     Common-Crawl-to-training-corpus rules): keep only lines with at least
     ``min_words_per_line`` whitespace words that end in terminal
     punctuation (``. ! ? "``); flag the whole document as dropped when it
-    contains "lorem ipsum" (case-insensitive) or a ``{`` (code), or fewer
-    than ``min_kept_lines`` lines survive. Output per input document:
-    ``(doc_id, text, kept, n_lines, n_lines_kept)`` with ``text`` rebuilt
-    from the surviving lines in order — rows are never deleted here, so
-    corpus loss stays observable (filter on ``kept`` downstream).
+    contains "lorem ipsum" (case-insensitive), a ``{`` (code), any
+    ``blocked_words`` entry as a whole word (C4's bad-words page filter —
+    the pinned default list is a small stand-in for the full public
+    blocklist; pass the real one at deployment), or fewer than
+    ``min_kept_lines`` lines survive. Output per input document:
+    ``(doc_id, text, kept, blocked, n_lines, n_lines_kept)`` with ``text``
+    rebuilt from the surviving lines in order — rows are never deleted
+    here, so corpus loss stays observable (filter on ``kept`` downstream;
+    ``blocked`` says WHY a page died when it was the word filter).
 
     Everything is JVM array/higher-order-function code inside whole-stage
     codegen — split, ``F.filter`` with a word-count + rlike lambda,
-    ``array_join`` — zero Exchange, zero Python (plan-asserted):
-    embarrassingly parallel over the scan at 100 TB. The DuckDB oracle
-    replays the same lambda with ``list_filter`` + ``regexp_matches``
-    (Java regex and RE2 agree on the anchored character class)."""
+    ``array_join``, one word-boundary rlike — zero Exchange, zero Python
+    (plan-asserted): embarrassingly parallel over the scan at 100 TB. The
+    DuckDB oracle replays the same lambdas with ``list_filter`` +
+    ``regexp_matches`` (Java regex and RE2 agree on the anchored character
+    class and on ``\\b`` around ASCII words)."""
     lines = F.split(F.col(text_col), "\n")
     kept_lines = F.filter(
         lines,
@@ -958,15 +981,19 @@ def c4_line_filter(
         lines.alias("__lines"),
         kept_lines.alias("__kept"),
     )
+    blocked_re = r"\b(" + "|".join(blocked_words) + r")\b"
+    blocked = F.lower(F.col("__orig")).rlike(blocked_re)
     doc_ok = (
         ~F.lower(F.col("__orig")).contains("lorem ipsum")
         & ~F.col("__orig").contains("{")
+        & ~blocked
         & (F.size("__kept") >= F.lit(min_kept_lines))
     )
     return staged.select(
         "doc_id",
         F.array_join("__kept", "\n").alias("text"),
         doc_ok.alias("kept"),
+        blocked.alias("blocked"),
         F.size("__lines").cast("long").alias("n_lines"),
         F.size("__kept").cast("long").alias("n_lines_kept"),
     )

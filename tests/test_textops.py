@@ -495,6 +495,36 @@ def test_c4_line_filter_crafted(spark):
     assert got[5] == ("", False, 1, 0)
 
 
+def test_c4_blocked_words_page_filter(spark):
+    """C4's bad-words page filter: any whole-word blocklist hit drops the
+    page (case-insensitive); substrings inside longer words never fire."""
+    from ocr_project_spark.textops import c4_line_filter
+
+    good = "this line has enough words to survive."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good, good, "Play the CASINO game here now!"])),
+            # 'cassino' / 'maxxxam' do not contain a whole-word hit
+            (2, "\n".join([good, good, "visit cassino italy or maxxxam."])),
+            (3, "\n".join([good, good, good])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["kept"], r["blocked"])
+        for r in c4_line_filter(docs).collect()
+    }
+    assert got[1] == (False, True)
+    assert got[2] == (True, False)
+    assert got[3] == (True, False)
+    # custom blocklist swaps cleanly
+    got2 = {
+        r["doc_id"]: r["blocked"]
+        for r in c4_line_filter(docs, blocked_words=("italy",)).collect()
+    }
+    assert got2 == {1: False, 2: True, 3: False}
+
+
 def test_c4_line_filter_is_shuffle_free(spark):
     from tests.test_plans import n_nodes, plan_of
 
