@@ -1485,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "c4_clean": q_c4_clean,
+        "text_normalize": q_text_normalize,
         "sim_topk": q_sim_topk,
         "dsir_select": q_dsir_select,
         "bloom_seen": q_bloom_seen,
@@ -1497,9 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lm": q_quality_lm,
         "sim_embed_dedup": q_sim_embed_dedup,
         "gopher_gate": q_gopher_gate,
-        "c4_clean": q_c4_clean,
         "dedup_blocking": q_dedup_blocking,
-        "text_normalize": q_text_normalize,
         "corpus_mix": q_corpus_mix,
         "corpus_partitioning": q_corpus_partitioning,
         "dedup_minhash_components": q_dedup_minhash_components,

@@ -90,6 +90,10 @@ def _extract_run(
         return time.monotonic() - t0, row
 
     if warm_path:
+        # two warm executions: the first pays codegen + worker-pool spawn,
+        # the second pushes the JVM further up its JIT ramp (measured: the
+        # extraction plan keeps improving over the first ~4 executions)
+        one_run(warm_path)
         one_run(warm_path)
     best = None
     for _ in range(repeats):
@@ -100,6 +104,61 @@ def _extract_run(
             best = (seconds, row)
     truth.unpersist()
     return best[0], n_docs, best[1]
+
+
+def _kernel_chunk(payloads: list[bytes]) -> int:
+    from ocr_project_spark.kernels.registry import process_html_arm
+
+    for pl in payloads:
+        process_html_arm(pl)
+    return len(payloads)
+
+
+def _bare_kernel_calibration(
+    pages_path: str, procs: int = 8, n_docs: int = 20_000
+) -> dict:
+    """Same-window hardware baseline, measured UNCONDITIONALLY in every
+    invocation: the per-doc extraction kernel (pure Python, no Spark, no
+    JVM) over a slice of the materialized pages table under plain
+    ``multiprocessing``. The sandbox VM has depression windows lasting
+    minutes to tens of minutes in which ALL sustained compute runs
+    severalfold slow; this number tells the reader which kind of window
+    this invocation sampled. Clean-window reference on this box:
+    ~22 000 docs/s at 8 procs (BENCH.md recalibration) — a materially
+    lower reading here means every Spark number in this JSON is depressed
+    by the same environment, not by the plan."""
+    import glob
+    from multiprocessing import Pool
+
+    import pyarrow.parquet as pq
+
+    payloads: list[bytes] = []
+    for part in sorted(glob.glob(os.path.join(pages_path, "*.parquet"))):
+        pf = pq.ParquetFile(part)
+        for batch in pf.iter_batches(columns=["html"], batch_size=2048):
+            payloads.extend(batch.column(0).to_pylist())
+            if len(payloads) >= n_docs:
+                break
+        if len(payloads) >= n_docs:
+            break
+    payloads = payloads[:n_docs]
+    chunks = [payloads[i::procs] for i in range(procs)]
+    with Pool(procs) as pool:
+        pool.map(_kernel_chunk, [c[:8] for c in chunks])  # warm the pool
+        t0 = time.monotonic()
+        done = sum(pool.map(_kernel_chunk, chunks))
+        dt = time.monotonic() - t0
+    return {
+        "procs": procs,
+        "n_docs": done,
+        "docs_per_sec": round(done / dt, 1),
+        "note": "unconditional same-window hardware baseline: the bare "
+        "extraction kernel (no Spark/JVM) under plain multiprocessing; "
+        "clean-window reference ~22000 docs/s at 8 procs — a materially "
+        "lower reading means this invocation sampled a depressed VM "
+        "window and every number in this JSON is environment-limited, "
+        "not plan-limited",
+    }
 
 
 def main() -> None:
@@ -215,6 +274,10 @@ def main() -> None:
     # small same-shape table for per-JVM untimed warmup (codegen, workers)
     warm_path = os.path.join(pages_dir, "pages_warm.parquet")
     _pages_parquet(spark, sf_dir, 1, warm_path)
+
+    # unconditional same-window hardware baseline (see the docstring) —
+    # run FIRST so it samples the same window as the suite that follows
+    extras["bare_kernel_calibration"] = _bare_kernel_calibration(pages_path)
 
     # --- lineage + health over extraction output ----------------------------
     timed(
@@ -483,6 +546,12 @@ def main() -> None:
             "note": "headline efficiency = the unsaturated pair[0]; "
             "pair[1] is annotated as a single-box hardware ceiling",
         }
+
+    # second unconditional baseline at the END: the two readings bracket
+    # the invocation, so a window flip DURING the run is visible in-JSON
+    extras["bare_kernel_calibration_end"] = _bare_kernel_calibration(
+        pages_path
+    )
 
     import shutil
 
