@@ -17,11 +17,11 @@ document.
 
 Timed job: ``minhash_near_dup_pairs(...).count()`` — fused JVM
 hash→sign→band pass, band-bucket self-join, exact-Jaccard verification of
-candidates only. The connected-components keep-list is reported once at
-the big leg for completeness but kept OUT of the scaling ratio: its
-large-star/small-star rounds are driver-synchronized, so a fixed number of
-round latencies rides on top of the parallel work (documented in PLANS.md
-§6) and would dilute a thread-scaling measurement with scheduler constants.
+candidates only. The connected-components keep-list closure is deliberately
+NOT part of the timed job: its large-star/small-star rounds are
+driver-synchronized, so a fixed number of round latencies rides on top of
+the parallel work (documented in PLANS.md §6) and would dilute a
+thread-scaling measurement with scheduler constants.
 
 The same unconditional bare-kernel calibration brackets as bench.py run
 before and after, so a reader can tell a depressed-VM-window invocation
