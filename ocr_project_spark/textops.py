@@ -871,7 +871,15 @@ def sample_corpus_mix(
     < 10^38, so the arithmetic stays exact at 100 TB token totals. Only the
     per-source totals (one row per source, joined back via broadcast) leave
     the aggregation; nothing collects to the driver. Output: the kept
-    corpus as (doc_id, source, n_tokens)."""
+    corpus as (doc_id, source, n_tokens).
+
+    Cost note: the totals subtree and the final projection are separate
+    scans, so each action reads the (id, source, text) columns twice. The
+    alternative single-scan plan — ``sum(n_tokens) over (partition by
+    source)`` — shuffles EVERY row on the low-cardinality source key
+    (skew: one reducer per language), which is strictly worse at 100 TB;
+    if the double scan dominates, pre-compute ``n_tokens`` into the table
+    upstream so both scans prune ``text``."""
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be a non-empty map of positive ints")
     spark = docs.sparkSession
