@@ -284,6 +284,8 @@ def lsh_bucket(
 
     def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # Arrow may deliver an empty batch
+                continue
             mat = np.vstack(pdf["embedding"].to_numpy())
             frames = []
             for t, pl in enumerate(planes):
@@ -412,6 +414,8 @@ def _assign_cells(embeddings: DataFrame, centroids: np.ndarray, id_alias: str) -
 
     def _cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # Arrow may deliver an empty batch
+                continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             cells = (mat @ centroids.T).argmax(axis=1)
@@ -459,6 +463,8 @@ def ivf_topk(
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # Arrow may deliver an empty batch
+                continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             order = np.argsort(-(matn @ centroids.T), axis=1)[:, :n_probe]
@@ -644,6 +650,8 @@ def ivfpq_topk(
         # ONE fused pass: normalize, assign cell, PQ-encode — the corpus is
         # scanned once and only (id, cell, m_sub codes) ever leaves Python
         for pdf in batches:
+            if not len(pdf):  # Arrow may deliver an empty batch
+                continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             cells = (mat @ centroids.T).argmax(axis=1)
@@ -667,6 +675,8 @@ def ivfpq_topk(
     def _qtab(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per query: probed cells + the full ADC distance table
         for pdf in batches:
+            if not len(pdf):  # Arrow may deliver an empty batch
+                continue
             mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             matn = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
