@@ -133,22 +133,28 @@ def bloom_probe(
     ``probably_seen=false`` is exact (no false negatives);
     ``probably_seen=true`` is wrong with probability ≈ (1−e^{−kn/m})^k.
     The filter side broadcasts; the only exchange is the per-key rollup
-    of its ``k_probes`` probe rows."""
+    of its ``k_probes`` probe rows.
+
+    A NULL key yields ``probably_seen=false`` (a null has definitionally
+    never been inserted — ``bloom_build`` drops nulls): ``explode_outer``
+    keeps the candidate's row where a plain ``explode`` would silently
+    remove it from the output."""
     probes = candidates.select(
         F.col(id_col).alias(id_col),
-        F.explode(_positions(F.col(key_col), k_probes, m_bits, salt)).alias(
-            "pos"
-        ),
+        F.explode_outer(
+            _positions(F.col(key_col), k_probes, m_bits, salt)
+        ).alias("pos"),
     ).select(
         id_col,
         (F.col("pos") / WORD_BITS).cast("long").alias("word_idx"),
         _mask().alias("mask"),
     )
     joined = probes.join(F.broadcast(bloom), "word_idx", "left")
-    hit = (
-        F.col("mask")
-        .bitwiseAND(F.coalesce(F.col("bits"), F.lit(0)))
-        != 0
+    # coalesce(.., false): a null-key row carries a null mask, which must
+    # count as a miss, not poison the per-key sum with a null
+    hit = F.coalesce(
+        F.col("mask").bitwiseAND(F.coalesce(F.col("bits"), F.lit(0))) != 0,
+        F.lit(False),
     ).cast("int")
     return (
         joined.groupBy(id_col)

@@ -481,3 +481,21 @@ def test_curate_chain_matches_composed_sql_replay(spark, tmp_path):
         assert nav not in text
         assert "@example.com" not in text and "555-123-4567" not in text
     assert any("<EMAIL>" in t and "<IP>" in t and "<PHONE>" in t for _, t in got)
+
+
+def test_bloom_probe_null_key_is_never_seen(spark):
+    """A NULL candidate key must surface as probably_seen=false — not
+    vanish from the output (plain explode would drop the row) and not
+    poison the rollup with a null sum."""
+    from ocr_project_spark.bloomset import bloom_build, bloom_probe
+
+    seen = spark.createDataFrame([("alpha",), ("beta",)], ["key"])
+    bloom = bloom_build(seen)
+    cands = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "gamma")], "doc_id long, key string"
+    )
+    got = {
+        r["doc_id"]: r["probably_seen"]
+        for r in bloom_probe(cands, bloom).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
