@@ -1102,12 +1102,18 @@ def importance_weights(
                 )
             ).alias("weight"),
             (
-                dec(F.col("sum_target_df"))
-                * dec(F.col("raw_total"))
-                * dec(F.lit(theta_den))
-                >= dec(F.col("sum_raw_df"))
-                * dec(F.col("target_total"))
-                * dec(F.lit(theta_num))
+                # target_total > 0: an empty target corpus must select
+                # NOTHING — without this conjunct the cross-multiplied
+                # comparison degenerates to 0 >= 0 and selects everything
+                (F.col("target_total") > 0)
+                & (
+                    dec(F.col("sum_target_df"))
+                    * dec(F.col("raw_total"))
+                    * dec(F.lit(theta_den))
+                    >= dec(F.col("sum_raw_df"))
+                    * dec(F.col("target_total"))
+                    * dec(F.lit(theta_num))
+                )
             ).alias("selected"),
         )
     )

@@ -499,3 +499,14 @@ def test_bloom_probe_null_key_is_never_seen(spark):
         for r in bloom_probe(cands, bloom).collect()
     }
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_importance_empty_target_selects_nothing(spark, documents):
+    """DSIR with an empty target corpus must select zero documents —
+    the degenerate cross-multiplication (0 >= 0) would otherwise select
+    everything with NaN weights."""
+    from ocr_project_spark.textops import importance_weights
+
+    empty = documents.where("doc_id < 0").select("doc_id", "text")
+    out = importance_weights(documents.limit(20), empty, n=2)
+    assert out.where("selected").count() == 0
