@@ -2589,7 +2589,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM cp LEFT JOIN words ON words.word_idx = pos // 32
             ),
             f AS (
-                SELECT doc_id, sum(hit) = 4 AS probably_seen
+                -- min(hit), duplicate-id-invariant like the Spark side
+                SELECT doc_id, min(hit) = 1 AS probably_seen
                 FROM j GROUP BY 1
             )
             SELECT doc_id, probably_seen,

@@ -100,7 +100,11 @@ def bloom_build(
         "pos"
     )
     return (
-        keys.select(pos)
+        # NULL keys insert nothing (they'd otherwise land one junk
+        # (NULL, NULL) word row: concat nulls each position element, and
+        # explode keeps the k null rows)
+        keys.where(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             (F.col("pos") / WORD_BITS).cast("long").alias("word_idx"),
             _mask().alias("mask"),
@@ -156,12 +160,17 @@ def bloom_probe(
         F.col("mask").bitwiseAND(F.coalesce(F.col("bits"), F.lit(0))) != 0,
         F.lit(False),
     ).cast("int")
+    # min(hit) == 1, NOT sum(hit) == k_probes: a candidate id appearing
+    # on multiple input rows (the same url captured twice in a snapshot)
+    # would sum to a multiple of k_probes and report a FALSE NEGATIVE on
+    # a definitely-seen key, breaking the module's one exact guarantee;
+    # min is duplicate-invariant (probably_seen = every probe row hit)
     return (
         joined.groupBy(id_col)
-        .agg(F.sum(hit).alias("__hits"))
+        .agg(F.min(hit).alias("__min_hit"))
         .select(
             id_col,
-            (F.col("__hits") == k_probes).alias("probably_seen"),
+            (F.col("__min_hit") == 1).alias("probably_seen"),
         )
     )
 
@@ -191,8 +200,13 @@ def bloom_dedup_against(
         k_probes=k_probes,
         salt=salt,
     )
+    # NO broadcast hint on the flags side: on a recrawl increment most
+    # candidates are seen, so the flagged-id set is candidate-sized —
+    # exactly the set the Bloom filter exists to avoid moving. A plain
+    # left-anti shuffles only ids; AQE may still choose to broadcast it
+    # when it measures small.
     return candidates.join(
-        F.broadcast(flags.where(F.col("probably_seen")).select(id_col)),
+        flags.where(F.col("probably_seen")).select(id_col),
         id_col,
         "left_anti",
     )

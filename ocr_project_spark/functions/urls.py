@@ -15,6 +15,11 @@ oracle:
 
 Deliberately NOT done (they change the page identity on real sites):
 path-case folding, trailing-slash addition, query-parameter reordering.
+Known simplification: the lowercased prefix spans the whole authority, so
+case-sensitive userinfo (``user:pass@host`` — RFC 3986 keeps it
+case-sensitive) is folded too; crawl pipelines conventionally drop
+userinfo urls outright, so the canonical key being case-folded there is
+harmless for corpus keying and keeps the expression one regex.
 """
 
 from __future__ import annotations
@@ -37,9 +42,10 @@ def canonical_url(col: Column) -> Column:
     # drop a trailing tracking param with its separator ("?a=1&utm=2" →
     # "?a=1"; a query that was only tracking params disappears entirely)
     u = F.regexp_replace(u, f"[?&]{_TRACKING}$", "")
-    # drop default ports
-    u = F.regexp_replace(u, r"^(http://[^/:]*):80(/|$)", "$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/:]*):443(/|$)", "$1$2")
+    # drop default ports ("?": a query can directly follow the authority —
+    # http://h:80?x=1 — and the fragment is already gone by this point)
+    u = F.regexp_replace(u, r"^(http://[^/:?]*):80(/|\?|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]*):443(/|\?|$)", "$1$2")
     return u
 
 
@@ -89,7 +95,10 @@ def url_spam_scores(
       ``digit_heavy_host`` gate is exact integer cross-multiplication
       (2·digits > len), never a float threshold;
     - ``path_depth``       — '/' count in the path (doorway-page chains);
-    - ``url_suspect``      — any of the above fired.
+      reported as a FEATURE, not part of the gate — depth has no
+      scale-free threshold, so callers pick their own cutoff;
+    - ``url_suspect``      — any binary signal fired: spam words present,
+      bad TLD, or digit-heavy host.
 
     Every signal is a pure JVM expression chain (lower / replace / length
     / regexp on the url column — whole-stage codegen, zero exchange), and

@@ -396,9 +396,9 @@ def near_dup_stream(
                 index_buckets,
             )
             verified = near_dup_index_pairs(sess, banded, index_table, threshold)
-            verified.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(pairs_path)
+            verified.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(pairs_path)
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 compact_near_dup_index(sess, index_table, index_buckets)
         finally:
@@ -435,6 +435,11 @@ def extract_stream_with_lineage(
     micro-batch can replay that batch (at-least-once within the batch),
     which downstream dedup handles by batch_id — the standard Spark
     trade-off for multi-sink streaming, documented rather than hidden.
+    BOTH sinks carry the ``batch_id`` column for exactly that reason: a
+    replayed batch's duplicate RESULTS rows are identifiable as
+    ``(url, batch_id)`` duplicates just like its lineage rows — without
+    the stamp on results, the documented mitigation could not be applied
+    to the table that matters most.
     """
     from pyspark.sql import functions as F
 
@@ -449,7 +454,9 @@ def extract_stream_with_lineage(
     def _sink(batch_df, batch_id: int) -> None:
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(results_path)
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(results_path)
             lineage_rows(batch_df).withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
             ).write.mode("append").parquet(lineage_path)

@@ -510,3 +510,46 @@ def test_importance_empty_target_selects_nothing(spark, documents):
     empty = documents.where("doc_id < 0").select("doc_id", "text")
     out = importance_weights(documents.limit(20), empty, n=2)
     assert out.where("selected").count() == 0
+
+
+def test_bloom_probe_duplicate_candidate_ids(spark):
+    """A candidate id appearing on multiple input rows must not flip a
+    definitely-seen key to probably_seen=false (sum(hit)==k breaks on
+    duplicates; the aggregation is min-based and duplicate-invariant)."""
+    from ocr_project_spark.bloomset import bloom_build, bloom_probe
+
+    seen = spark.createDataFrame([("alpha",)], ["key"])
+    bloom = bloom_build(seen)
+    cands = spark.createDataFrame(
+        [(1, "alpha"), (1, "alpha"), (2, "alpha"), (3, "nope")],
+        "doc_id long, key string",
+    )
+    got = {
+        r["doc_id"]: r["probably_seen"]
+        for r in bloom_probe(cands, bloom).collect()
+    }
+    assert got == {1: True, 2: True, 3: False}
+
+
+def test_canonical_url_strips_port_before_query(spark):
+    """Default ports must drop when the authority is followed directly by
+    a query string, not only by a path or end-of-string — otherwise the
+    same page keeps two canonical keys."""
+    from ocr_project_spark.functions.urls import canonical_url
+
+    rows = spark.createDataFrame(
+        [
+            ("http://example.com:80?x=1",),
+            ("http://example.com?x=1",),
+            ("https://example.com:443?x=1",),
+            ("https://example.com:8443/a",),  # non-default port survives
+        ],
+        ["url"],
+    ).select(canonical_url(F.col("url")).alias("c"))
+    got = [r["c"] for r in rows.collect()]
+    assert got == [
+        "http://example.com?x=1",
+        "http://example.com?x=1",
+        "https://example.com?x=1",
+        "https://example.com:8443/a",
+    ]
