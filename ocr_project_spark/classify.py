@@ -51,7 +51,14 @@ def nb_train(
     Fully lazy: the vocabulary size joins in as a broadcast 1-row
     aggregate rather than a driver-side ``.count()``, so calling this
     function launches zero Spark jobs — train + predict compose into one
-    job when the prediction is finally acted on."""
+    job when the prediction is finally acted on.
+
+    NULL-labeled rows are ignored (no class to credit). A class whose
+    every training document has NULL text still trains: it keeps its
+    prior with ``n_tokens = 0`` (the totals join is LEFT, not inner — an
+    inner join would silently delete the class from the model AND shrink
+    the prior denominator, so the label could never be predicted)."""
+    docs = docs.where(F.col(label_col).isNotNull())
     toks = docs.select(
         F.col(label_col).alias("label"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
@@ -64,7 +71,11 @@ def nb_train(
     priors = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    classes = priors.join(totals, "label").crossJoin(F.broadcast(vocab_df))
+    classes = (
+        priors.join(totals, "label", "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .crossJoin(F.broadcast(vocab_df))
+    )
     return model, classes
 
 

@@ -165,7 +165,30 @@ def _destuff(data: bytes) -> list[bytes]:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG → (h, w, 3) uint8 (grayscale replicated —
     the shared contract of decode_netpbm/decode_png). Raises ValueError on
-    any non-baseline or malformed payload."""
+    any non-baseline or malformed payload — INCLUDING structurally broken
+    ones whose parse fails deeper in (undefined table ids → KeyError, a
+    zero sampling nibble → ZeroDivisionError, short segments →
+    struct.error/IndexError): strict-mode Arrow callers catch ValueError
+    to degrade one bad image to a corrupt row, so nothing else may escape
+    and kill the batch."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (
+        KeyError,
+        IndexError,
+        ZeroDivisionError,
+        struct.error,
+        OverflowError,
+        TypeError,
+    ) as exc:
+        raise ValueError(
+            f"malformed JPEG: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}

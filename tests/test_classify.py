@@ -87,3 +87,39 @@ def test_nb_classify_quality_task_and_determinism(spark, documents):
         for r in nb_classify(train.repartition(7), corpus.repartition(5)).collect()
     }
     assert again == preds
+
+
+def test_nb_train_keeps_class_with_all_null_text(spark):
+    """A class whose training docs all have NULL text must survive
+    training (prior intact, n_tokens=0) instead of silently vanishing
+    from the model and shifting the prior denominator; NULL-labeled rows
+    are ignored."""
+    from ocr_project_spark.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(
+        [
+            ("ham", "good good good good good"),
+            ("ham", "good stuff"),
+            ("spam", None),
+            ("spam", None),
+            ("spam", None),
+            (None, "label missing"),
+        ],
+        "label string, text string",
+    )
+    model, classes = nb_train(train)
+    cls = {r["label"]: (r["n_docs"], r["n_tokens"]) for r in classes.collect()}
+    assert cls == {"ham": (2, 7), "spam": (3, 0)}
+
+    # the zero-evidence class is predictable (it was not dropped): for a
+    # pure-OOV doc spam's smoothed per-token prob 1/V strictly beats
+    # ham's 1/(T+V) and the prior favors spam — guaranteed argmax. A doc
+    # of ham's high-count word ((c+1)/(T+V) = 7/9 vs 1/2) goes ham.
+    docs = spark.createDataFrame(
+        [(1, "zz yy xx"), (2, "good good good")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["pred_label"]
+        for r in nb_predict(docs, model, classes).collect()
+    }
+    assert got == {1: "spam", 2: "ham"}

@@ -252,3 +252,37 @@ def test_synthesize_jpeg_media_sql_contract(spark):
             expect,
             False,
         )
+
+
+def test_structurally_broken_jpegs_raise_valueerror_not_keyerror():
+    """Payloads that parse past the marker walk but reference undefined
+    tables / zero sampling factors / short segments must surface as
+    ValueError (the strict-mode Arrow catch), never KeyError /
+    ZeroDivisionError / struct.error that would kill a whole batch."""
+    import struct
+
+    from ocr_project_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # SOF0 referencing quant table 3 that was never defined -> KeyError path
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 3]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bad_tq = b"\xff\xd8" + sof + sos + b"\x00" * 8 + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(bad_tq)
+
+    # zero sampling nibble -> ZeroDivisionError path
+    good = encode_jpeg(_block_constant_gray(), gray=True)
+    i = good.index(b"\xff\xc0")
+    # component bytes sit at offset i+4(ihdr)+6: id, hv, tq
+    broken = bytearray(good)
+    broken[i + 4 + 6 + 1] = 0x00  # h=0, v=0
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(broken))
+
+    # 4-byte SOF0 body -> struct.error path
+    short_sof = b"\xff\xd8" + seg(0xC0, bytes([8, 0, 8])) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(short_sof)
