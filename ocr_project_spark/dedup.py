@@ -399,6 +399,16 @@ def _band_hash_matrix(sig: np.ndarray, bands: int) -> np.ndarray:
             f"bands ({bands}) must be <= num_hashes ({num_hashes}): "
             "each band needs at least one signature column"
         )
+    if num_hashes % bands:
+        # silently truncating to bands*(num_hashes//bands) columns would
+        # waste computed hashes AND run a different LSH configuration
+        # than the caller asked for — the repo posture is count-what-you-
+        # drop, and a config error should be loud
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            f"{num_hashes - bands * (num_hashes // bands)} trailing "
+            "signature columns would be silently discarded"
+        )
     r = max(num_hashes // bands, 1)
     usable = sig[:, : bands * r].view(np.uint64).reshape(n_docs, bands, r)
     w = (

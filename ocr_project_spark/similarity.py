@@ -317,24 +317,37 @@ def ivf_centroids(
     seed: int = HYPERPLANE_SEED,
     target_points: int | None = None,
 ) -> np.ndarray:
-    """IVF coarse quantizer: k-means centroids trained on a bounded,
-    seeded-sample driver-side collect. k-means needs only ~1000·n_cells
-    points, so by default the sample fraction is derived from the corpus
-    row count (``min(1, target_points / n)``) and the collect is hard-capped
-    at 4× the target — the corpus itself never reaches the driver at any
-    scale. ``sample_fraction`` overrides the derivation for tests.
-    Deterministic: seeded sample + seeded init, fixed iteration count."""
+    """IVF coarse quantizer: k-means centroids trained on a bounded
+    driver-side collect. k-means needs only ~1000·n_cells points; the
+    training slice is the ``target_points`` lowest rows by
+    ``(md5(vec_id), vec_id)`` — a PURE FUNCTION OF THE DATA, so the
+    centroids (and every keep-list built on them) are identical across
+    repartitions and resumes, where ``df.sample(seed)`` depends on
+    partition layout (the repo determinism invariant; the same reason
+    ``hash_split`` never samples). One TakeOrdered pass (per-partition
+    top-k, driver merge) — the corpus itself never reaches the driver.
+    ``sample_fraction >= 1.0`` collects every row in arrival order (test
+    hook for tiny corpora). Deterministic: ordered slice + seeded init,
+    fixed iteration count."""
     target = target_points or 1000 * n_cells
-    src = embeddings.select("embedding")
-    if sample_fraction is None:
-        n = src.count()
-        sample_fraction = min(1.0, target / max(n, 1))
-    if sample_fraction < 1.0:
-        src = src.sample(fraction=sample_fraction, seed=seed)
+    if sample_fraction is not None and sample_fraction >= 1.0:
+        src = embeddings.select("embedding")
+    else:
+        key = F.col("vec_id").cast("string")
+        src = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy(F.md5(key), F.col("vec_id"))
+            .limit(target)
+            .select("embedding")
+        )
     mat = np.array(
-        [r["embedding"] for r in src.limit(4 * target).collect()],
+        [r["embedding"] for r in src.collect()],
         dtype=np.float64,
     )
+    if not len(mat):
+        raise ValueError(
+            "cannot train IVF centroids on an empty embeddings table"
+        )
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
@@ -567,24 +580,32 @@ def pq_codebooks(
     into ``m_sub`` subspaces of ``dim/m_sub`` dims and each learns its own
     ``n_codes``-centroid L2 k-means codebook, so a vector compresses to
     ``m_sub`` small codes (here 8 codes ≈ 8 bytes vs 256 bytes of floats).
-    Trained like :func:`ivf_centroids` on a bounded seeded sample — k-means
-    needs ~1000·n_codes points per subspace, so the corpus never reaches
-    the driver. Vectors are L2-normalized first (‖q−x‖² = 2−2·cos on the
-    unit sphere, so ADC ranking matches cosine ranking). Deterministic:
-    seeded sample + init, fixed iterations. Shape: (m_sub, n_codes, sub)."""
+    Trained like :func:`ivf_centroids` on the ``(md5(vec_id), vec_id)``-
+    ordered bounded slice — a pure function of the data, so codebooks are
+    repartition/resume-invariant (``df.sample`` is not) and the corpus
+    never reaches the driver. Vectors are L2-normalized first
+    (‖q−x‖² = 2−2·cos on the unit sphere, so ADC ranking matches cosine
+    ranking). Deterministic: ordered slice + seeded init, fixed
+    iterations. Shape: (m_sub, n_codes, sub)."""
     sub = dim // m_sub
     if sub * m_sub != dim:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     target = target_points or 1000 * n_codes
-    src = embeddings.select("embedding")
-    n = src.count()
-    frac = min(1.0, target / max(n, 1))
-    if frac < 1.0:
-        src = src.sample(fraction=frac, seed=seed)
+    key = F.col("vec_id").cast("string")
+    src = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(key), F.col("vec_id"))
+        .limit(target)
+        .select("embedding")
+    )
     mat = np.array(
-        [r["embedding"] for r in src.limit(4 * target).collect()],
+        [r["embedding"] for r in src.collect()],
         dtype=np.float64,
     )
+    if not len(mat):
+        raise ValueError(
+            "cannot train PQ codebooks on an empty embeddings table"
+        )
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     books = np.empty((m_sub, n_codes, sub), dtype=np.float64)

@@ -760,6 +760,11 @@ def lang_id(
     # alphabetical-first deterministic tiebreak
     for lang in reversed(langs):
         pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    # zero evidence → 'und' (ISO 639 undetermined), NOT the first
+    # alphabetical profile: with every hit count 0 the all-zero tie would
+    # otherwise label a Russian/Japanese/numeric page confidently as the
+    # lowest-sorting language and pollute per-language stats downstream
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
     return pages.select("doc_id", pred.alias("pred_lang"))
 
 
@@ -989,8 +994,21 @@ def c4_line_filter(
         lines.alias("__lines"),
         kept_lines.alias("__kept"),
     )
-    blocked_re = r"\b(" + "|".join(blocked_words) + r")\b"
-    blocked = F.lower(F.col("__orig")).rlike(blocked_re)
+    # empty list = the filter is OFF (the naive join would build \b()\b,
+    # which matches every word boundary and drops the whole corpus);
+    # entries are regex-escaped (deployment lists contain 'a$$'-style
+    # spellings) and lowercased to match the lowercased text
+    if blocked_words:
+        import re as _re
+
+        blocked_re = (
+            r"\b("
+            + "|".join(_re.escape(w.lower()) for w in blocked_words)
+            + r")\b"
+        )
+        blocked = F.lower(F.col("__orig")).rlike(blocked_re)
+    else:
+        blocked = F.lit(False)
     doc_ok = (
         ~F.lower(F.col("__orig")).contains("lorem ipsum")
         & ~F.col("__orig").contains("{")
@@ -1065,11 +1083,28 @@ def importance_weights(
     # unlike the contamination check, which wants set membership only
     tgt = gram_hashes(
         target_docs, n=n, text_col=text_col, id_col=id_col
-    ).select(feat)
+    ).select(F.col(id_col).alias("doc_id"), feat)
+    if n_buckets:
+        # bucketing collides distinct grams into one feature id; without a
+        # re-distinct, (doc, feat) rows duplicate and raw_df/target_df
+        # become doc-gram PAIR counts, not the documented document
+        # frequencies (gram_hashes is distinct per doc, but only pre-mod)
+        raw = raw.distinct()
+        tgt = tgt.distinct()
+    tgt = tgt.select("feat")
     raw_df = raw.groupBy("feat").agg(F.count(F.lit(1)).alias("raw_df"))
     tgt_df = tgt.groupBy("feat").agg(F.count(F.lit(1)).alias("target_df"))
-    raw_total = raw.groupBy().agg(F.count(F.lit(1)).alias("raw_total"))
-    tgt_total = tgt.groupBy().agg(F.count(F.lit(1)).alias("target_total"))
+    # corpus totals derive from the df tables (sum of per-feature counts
+    # = total (doc, feat) rows) — aggregating `raw`/`tgt` directly would
+    # re-run the full gram pass over each corpus a third time
+    # coalesce: sum over zero rows is NULL (count was 0) and a NULL
+    # target_total would null out the empty-target gate below
+    raw_total = raw_df.groupBy().agg(
+        F.coalesce(F.sum("raw_df"), F.lit(0)).alias("raw_total")
+    )
+    tgt_total = tgt_df.groupBy().agg(
+        F.coalesce(F.sum("target_df"), F.lit(0)).alias("target_total")
+    )
     per = (
         raw.join(raw_df, "feat")
         .join(F.broadcast(tgt_df), "feat", "left")

@@ -248,3 +248,31 @@ def test_prototype_prune_drop_counts_and_determinism(spark, embeddings):
         ).collect()
     }
     assert again == {(r["vec_id"], r["kept"]) for r in out}
+
+
+def test_ivf_centroids_repartition_invariant(spark, embeddings):
+    """Centroid training must be a pure function of the data — identical
+    bits across partition layouts (the md5-ordered slice; df.sample would
+    depend on partitioning), because keep-lists build on the centroids."""
+    import numpy as np
+
+    from ocr_project_spark.similarity import ivf_centroids, pq_codebooks
+
+    small = embeddings.limit(400)
+    c1 = ivf_centroids(small.repartition(1), n_cells=4, target_points=100)
+    c2 = ivf_centroids(small.repartition(7), n_cells=4, target_points=100)
+    assert np.array_equal(c1, c2)
+
+    b1 = pq_codebooks(small.repartition(2), m_sub=4, n_codes=4, target_points=64)
+    b2 = pq_codebooks(small.repartition(5), m_sub=4, n_codes=4, target_points=64)
+    assert np.array_equal(b1, b2)
+
+
+def test_ivf_centroids_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    from ocr_project_spark.similarity import ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty embeddings"):
+        ivf_centroids(empty, n_cells=4)
