@@ -458,6 +458,39 @@ def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(stats, "host")
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link-graph analytics (the Common-Crawl-style host-rank stage a
+    web-curation pipeline weights documents by): absolute <a href> harvest
+    from the raw html payloads as one JVM regexp projection, host-level
+    weighted edge list, per-host fan-out/fan-in, and 3-iteration weighted
+    PageRank with uniform dangling redistribution. The planted outlinks
+    target doc_id + 7·i (datagen.build_html), so the oracle rebuilds the
+    ENTIRE graph — edges, degrees, and all three power iterations — from
+    doc_id arithmetic without parsing any HTML, while the engine earns the
+    same numbers from the actual href scan. PageRank ships in micro-rank
+    integer units (round(rank·1e6)): cross-engine float noise is ~1e-15,
+    nine orders below the rounding quantum."""
+    from ocr_project_spark.functions.links import (
+        extract_outlinks,
+        host_degrees,
+        host_graph,
+        host_pagerank,
+    )
+
+    pages = _pages(spark, sf_dir)
+    graph = host_graph(extract_outlinks(pages))
+    deg = host_degrees(graph)
+    pr = host_pagerank(graph, n_iter=3)
+    return deg.join(pr, "host").select(
+        "host",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+        F.col("n_outlinks").cast("long").alias("n_outlinks"),
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.round(F.col("pagerank") * 1e6).cast("long").alias("pagerank_micro"),
+    )
+
+
 def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl dedup: union the pages table with a 1000-second-later
     recrawl of every url; the window keeps exactly the newer capture."""
@@ -1065,32 +1098,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decode, differentially checked: payloads are synthesized
-    PNGs (gray/RGB alternating, all five scanline filters cycling) whose
-    dimensions and pixel values are pure integer functions of the doc id,
-    so the oracle predicts width/height/Σpixels with plain SQL while the
-    engine earns them by actually inflating and unfiltering the PNG bytes
-    (multimodal.decode_png). Any decode defect shifts the integer sums."""
-    from ocr_project_spark.multimodal import image_pixel_stats, synthesize_png_media
+def q_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode across BOTH implemented codecs in one codec-tagged
+    row set (registry consolidation: the round-4 `media_png`+`media_jpeg`
+    rows merged, neither dropped).
 
-    media = synthesize_png_media(_docs(spark, sf_dir))
-    return image_pixel_stats(media, decode="strict")
+    PNG rows: payloads are synthesized PNGs (gray/RGB alternating, all five
+    scanline filters cycling) whose dimensions and pixel values are pure
+    integer functions of the doc id, so the oracle predicts
+    width/height/Σpixels with plain SQL while the engine earns them by
+    actually inflating and unfiltering the PNG bytes (multimodal.decode_png)
+    — including the planted corrupt-IDAT rows (id % 31 = 7) that must
+    surface as `corrupt`, never dead batches.
 
-
-def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode, differentially checked: payloads are
-    synthesized block-constant grayscale JPEGs whose decode is
+    JPEG rows: synthesized block-constant grayscale JPEGs whose decode is
     mathematically LOSSLESS (DC-only blocks, DC quantizer divides the DC
     coefficient exactly — multimodal.synthesize_jpeg_media), so the oracle
-    predicts width/height/Σpixels with integer arithmetic while the engine
-    earns them by real marker walk + Huffman decode + dequantization +
-    IDCT (jpegcodec.decode_jpeg). Lossy-path accuracy bounds and the
+    predicts the decode output with integer arithmetic while the engine
+    earns it by real marker walk + Huffman decode + dequantization + IDCT
+    (jpegcodec.decode_jpeg). Lossy-path accuracy bounds and the
     spec-table/zigzag/IDCT anchors live in pytest."""
-    from ocr_project_spark.multimodal import image_pixel_stats, synthesize_jpeg_media
+    from ocr_project_spark.multimodal import (
+        image_pixel_stats,
+        synthesize_jpeg_media,
+        synthesize_png_media,
+    )
 
-    media = synthesize_jpeg_media(_docs(spark, sf_dir))
-    return image_pixel_stats(media, decode="strict")
+    docs = _docs(spark, sf_dir)
+    png = image_pixel_stats(synthesize_png_media(docs), decode="strict")
+    jpeg = image_pixel_stats(synthesize_jpeg_media(docs), decode="strict")
+    return png.withColumn("codec", F.lit("png")).unionByName(
+        jpeg.withColumn("codec", F.lit("jpeg"))
+    )
 
 
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "link_graph": q_link_graph,
+        "media_codecs": q_media_codecs,
         "c4_clean": q_c4_clean,
         "text_normalize": q_text_normalize,
         "sim_topk": q_sim_topk,
@@ -1511,8 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "corpus_profile": q_corpus_profile,
-        "media_jpeg": q_media_jpeg,
-        "media_png": q_media_png,
         "host_profile": q_host_profile,
         "host_crawl_plan": q_host_crawl_plan,
         # --- byte-identity core ---
@@ -2194,8 +2233,138 @@ def oracle_sql() -> dict[str, str]:
         # makes the decode exact, so the oracle predicts the sums from the
         # planted block formula (w ≤ 56 → bx ≤ 6, h ≤ 48 → by ≤ 5; each
         # block contributes 64·v, grayscale replicates ×3 channels)
-        "media_jpeg": """
-            WITH ids AS (
+        # link_graph: the engine harvests real <a href> bytes from the html
+        # payloads; the oracle rebuilds the identical host graph from
+        # doc_id arithmetic (outlinks target doc_id + 7·i, hosts are pure
+        # functions of the id — datagen.build_html) and replays degree
+        # aggregation plus all three PageRank power iterations in SQL.
+        # Micro-rank integers keep the float comparison 9 orders above
+        # cross-engine summation noise.
+        "link_graph": """
+            WITH l AS (
+                SELECT doc_id AS s, doc_id + 7 * i.i AS t
+                FROM documents, (VALUES (1), (2), (3)) i(i)
+                WHERE doc_id % 2 = 0 AND doc_id % 97 <> 13
+            ),
+            e AS (
+                SELECT CASE WHEN s % 10 < 3 THEN 'popular.example.com'
+                            ELSE 'site-' || CAST(s % 40 AS VARCHAR)
+                                 || '.example.org' END AS src_host,
+                       CASE WHEN t % 10 < 3 THEN 'popular.example.com'
+                            ELSE 'site-' || CAST(t % 40 AS VARCHAR)
+                                 || '.example.org' END AS dst_host,
+                       count(*) AS n_links
+                FROM l GROUP BY 1, 2
+            ),
+            nodes AS (
+                SELECT src_host AS host FROM e
+                UNION
+                SELECT dst_host FROM e
+            ),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            ow AS (SELECT src_host, SUM(n_links) AS w FROM e GROUP BY 1),
+            deg AS (
+                SELECT n.host,
+                       COALESCE(o.out_degree, 0) AS out_degree,
+                       COALESCE(i.in_degree, 0) AS in_degree,
+                       COALESCE(o.n_outlinks, 0) AS n_outlinks,
+                       COALESCE(i.n_inlinks, 0) AS n_inlinks
+                FROM nodes n
+                LEFT JOIN (
+                    SELECT src_host, count(*) AS out_degree,
+                           SUM(n_links) AS n_outlinks
+                    FROM e GROUP BY 1
+                ) o ON o.src_host = n.host
+                LEFT JOIN (
+                    SELECT dst_host, count(*) AS in_degree,
+                           SUM(n_links) AS n_inlinks
+                    FROM e GROUP BY 1
+                ) i ON i.dst_host = n.host
+            ),
+            r0 AS (
+                SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+            ),
+            d0 AS (
+                SELECT COALESCE(SUM(rank), 0) AS dm FROM r0
+                WHERE host NOT IN (SELECT src_host FROM ow)
+            ),
+            r1 AS (
+                SELECT n.host,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (COALESCE(c.contrib, 0)
+                                 + (SELECT dm FROM d0) / (SELECT n FROM nn))
+                           AS rank
+                FROM nodes n
+                LEFT JOIN (
+                    SELECT e.dst_host,
+                           SUM(r.rank * (e.n_links / CAST(ow.w AS DOUBLE)))
+                               AS contrib
+                    FROM e
+                    JOIN ow ON ow.src_host = e.src_host
+                    JOIN r0 r ON r.host = e.src_host
+                    GROUP BY 1
+                ) c ON c.dst_host = n.host
+            ),
+            d1 AS (
+                SELECT COALESCE(SUM(rank), 0) AS dm FROM r1
+                WHERE host NOT IN (SELECT src_host FROM ow)
+            ),
+            r2 AS (
+                SELECT n.host,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (COALESCE(c.contrib, 0)
+                                 + (SELECT dm FROM d1) / (SELECT n FROM nn))
+                           AS rank
+                FROM nodes n
+                LEFT JOIN (
+                    SELECT e.dst_host,
+                           SUM(r.rank * (e.n_links / CAST(ow.w AS DOUBLE)))
+                               AS contrib
+                    FROM e
+                    JOIN ow ON ow.src_host = e.src_host
+                    JOIN r1 r ON r.host = e.src_host
+                    GROUP BY 1
+                ) c ON c.dst_host = n.host
+            ),
+            d2 AS (
+                SELECT COALESCE(SUM(rank), 0) AS dm FROM r2
+                WHERE host NOT IN (SELECT src_host FROM ow)
+            ),
+            r3 AS (
+                SELECT n.host,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (COALESCE(c.contrib, 0)
+                                 + (SELECT dm FROM d2) / (SELECT n FROM nn))
+                           AS rank
+                FROM nodes n
+                LEFT JOIN (
+                    SELECT e.dst_host,
+                           SUM(r.rank * (e.n_links / CAST(ow.w AS DOUBLE)))
+                               AS contrib
+                    FROM e
+                    JOIN ow ON ow.src_host = e.src_host
+                    JOIN r2 r ON r.host = e.src_host
+                    GROUP BY 1
+                ) c ON c.dst_host = n.host
+            )
+            SELECT deg.host,
+                   CAST(deg.out_degree AS BIGINT) AS out_degree,
+                   CAST(deg.in_degree AS BIGINT) AS in_degree,
+                   CAST(deg.n_outlinks AS BIGINT) AS n_outlinks,
+                   CAST(deg.n_inlinks AS BIGINT) AS n_inlinks,
+                   CAST(ROUND(r3.rank * 1e6) AS BIGINT) AS pagerank_micro
+            FROM deg JOIN r3 ON r3.host = deg.host
+        """,
+        # media_codecs (png ∪ jpeg, codec-tagged): the engine decodes real
+        # PNG bytes (inflate + unfilter; ids with id % 31 = 7 carry a
+        # structurally valid PNG with a truncated IDAT — must surface as
+        # `corrupt` rows, never dead batches) and real lossless baseline
+        # JPEGs (marker walk + Huffman + dequant + IDCT); the oracle
+        # predicts both decodes from the planted-pixel formulas (see
+        # multimodal.synthesize_png_media / synthesize_jpeg_media). Static
+        # series bounds match the synthesis ranges.
+        "media_codecs": """
+            WITH jids AS (
                 SELECT doc_id AS media_id,
                        16 + 8 * (doc_id % 6) AS w,
                        16 + 8 * ((doc_id // 7) % 5) AS h
@@ -2203,28 +2372,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             bxs AS (SELECT g AS bx FROM generate_series(0, 6) t(g)),
             bys AS (SELECT g AS by FROM generate_series(0, 5) t(g)),
-            sums AS (
+            jsums AS (
                 SELECT i.media_id,
                        SUM((i.media_id + 3 * bx + 5 * by) % 256) * 64 AS s
-                FROM ids i, bxs, bys
+                FROM jids i, bxs, bys
                 WHERE bxs.bx < i.w // 8 AND bys.by < i.h // 8
                 GROUP BY i.media_id
-            )
-            SELECT i.media_id,
-                   CAST(i.w AS BIGINT) AS width,
-                   CAST(i.h AS BIGINT) AS height,
-                   CAST(3 * s.s AS BIGINT) AS pixel_sum,
-                   FALSE AS corrupt
-            FROM ids i JOIN sums s USING (media_id)
-        """,
-        # media_png: the engine inflates + unfilters real PNG bytes; the
-        # oracle predicts the decode output from the planted-pixel formula
-        # (see multimodal.synthesize_png_media). Static series bounds match
-        # the synthesis ranges (w ≤ 63, h ≤ 47). Ids with id % 31 = 7 carry
-        # a structurally valid PNG whose IDAT stream is truncated — the
-        # decoder must turn those into `corrupt` rows, never dead batches.
-        "media_png": """
-            WITH ids AS (
+            ),
+            ids AS (
                 SELECT doc_id AS media_id,
                        16 + doc_id % 48 AS w,
                        12 + (doc_id // 7) % 36 AS h
@@ -2251,8 +2406,17 @@ def oracle_sql() -> dict[str, str]:
                              WHEN i.media_id % 2 = 0 THEN 3 * s.s1
                              ELSE s.s3 END
                         AS BIGINT) AS pixel_sum,
-                   i.media_id % 31 = 7 AS corrupt
+                   i.media_id % 31 = 7 AS corrupt,
+                   'png' AS codec
             FROM ids i JOIN sums s USING (media_id)
+            UNION ALL
+            SELECT i.media_id,
+                   CAST(i.w AS BIGINT) AS width,
+                   CAST(i.h AS BIGINT) AS height,
+                   CAST(3 * s.s AS BIGINT) AS pixel_sum,
+                   FALSE AS corrupt,
+                   'jpeg' AS codec
+            FROM jids i JOIN jsums s USING (media_id)
         """,
         "media_audio": f"""
             WITH h AS (

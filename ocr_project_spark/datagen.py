@@ -20,6 +20,10 @@ can re-derive any property with plain SQL arithmetic:
 - ``file_type``  = 'pdf' if n_pages > 1 else 'image'
 - hot host       = doc_id % 10 < 3  → one shared host (30% of all urls —
                    the host-level skew the salted repartitioning defuses)
+- outlinks       = html-arm pages carry 3 absolute cross-host links to
+                   host_for(doc_id + 7·i), i ∈ {1,2,3} (host link-graph
+                   fixture; the links sit in boilerplate so extraction
+                   identity is unaffected)
 """
 
 from __future__ import annotations
@@ -116,6 +120,15 @@ def build_html(doc_id: int, text: str, lang: str) -> str:
     aside = "".join(
         f'<a href="/l{i}">{LANG_MARKERS[lang][i % len(LANG_MARKERS[lang])]}</a>'
         for i in range(6)
+    )
+    # Absolute cross-host outlinks (host link-graph fixture): target doc
+    # ids are doc_id + 7·i, so src and dst hosts are both pure doc_id
+    # arithmetic and the DuckDB oracle rebuilds the whole host graph
+    # without parsing HTML. They live in the <aside> (boilerplate), so
+    # extraction byte-identity is untouched.
+    aside += "".join(
+        f'<a href="https://{host_for(doc_id + 7 * i)}/ref/doc{doc_id + 7 * i}.html">ref</a>'
+        for i in (1, 2, 3)
     )
     return (
         f'<!DOCTYPE html><html lang="{lang}"><head><title>doc {doc_id}</title></head>'

@@ -1,0 +1,171 @@
+"""Outlink extraction and host-graph analytics (web-corpus curation).
+
+Web curation pipelines (Common Crawl's host-level ranks, RefinedWeb's
+URL-level filtering) weight documents by where they sit in the host link
+graph: a page on a well-linked host is worth more than one on a link-farm
+island. This module turns the raw ``pages(url, html)`` table into that
+graph and its standard statistics with pure DataFrame plans:
+
+- :func:`extract_outlinks` — absolute ``<a href>`` harvest as ONE JVM
+  regexp projection (``regexp_extract_all`` + ``explode``; no Python, no
+  Arrow pass — at 100 TB the href scan rides the same columnar read as
+  every other projection and whole-stage codegen fuses it with the scan).
+- :func:`host_graph` — (src_host, dst_host, n_links) weighted edge list:
+  a single partial-aggregable groupBy, the only shuffle of the family.
+- :func:`host_degrees` — per-host fan-out/fan-in (distinct-host degree
+  and raw link counts) from two partial aggs over the edge list.
+- :func:`host_pagerank` — weighted PageRank by power iteration: each
+  round is one hash join (edges ⋈ ranks on src_host) plus one
+  partial-aggregable groupBy(dst_host). Rank rows are one scalar per
+  HOST (≪ edges); dangling mass is one driver scalar per round, bounded
+  by construction like the components checksum (components.py).
+
+Scale shape: edges shuffle once at build time and are reused every
+iteration from a localCheckpoint; per-round traffic is the rank table
+(one double per host). Hot dst hosts in the contribution groupBy are
+AQE-skew-split territory; the groupBy is partial-aggregable so the
+map side absorbs most of a hub's fan-in before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# absolute http(s) hrefs only: relative links stay on-host and the crawl
+# frontier / host graph both key on absolute targets. Case-insensitive —
+# real HTML carries <A HREF= and HTTPS:// spellings.
+_HREF_PATTERN = r'(?i)<a href="(https?://[^"]+)"'
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages(url, html:binary) → one row per absolute ``<a href>``:
+    (src_url, src_host, dst_url, dst_host). Pure JVM projection — the
+    href regex, explode, and host parse all run inside whole-stage
+    codegen on the pruned (url, html) scan."""
+    hrefs = F.expr(
+        f"regexp_extract_all(decode({html_col}, 'utf-8'), '{_HREF_PATTERN}', 1)"
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"), F.explode(hrefs).alias("dst_url")
+        )
+        .select(
+            "src_url",
+            F.lower(F.parse_url("src_url", F.lit("HOST"))).alias("src_host"),
+            "dst_url",
+            F.lower(F.parse_url("dst_url", F.lit("HOST"))).alias("dst_host"),
+        )
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Outlink rows → weighted host-level edge list
+    (src_host, dst_host, n_links). One partial-aggregable groupBy; self
+    edges (host linking to itself) are kept — they are real crawl signal
+    and both degree and PageRank definitions below handle them."""
+    return (
+        links.groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_degrees(graph: DataFrame) -> DataFrame:
+    """Per-host graph statistics from the weighted edge list: distinct-host
+    out/in degree and total out/in link counts. Hosts missing from one
+    side (pure sources / pure sinks) get zeros via the full outer join."""
+    out_side = graph.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("n_links").alias("n_outlinks"),
+    )
+    in_side = graph.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("n_links").alias("n_inlinks"),
+    )
+    return (
+        out_side.join(in_side, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("n_outlinks", F.lit(0)).alias("n_outlinks"),
+            F.coalesce("n_inlinks", F.lit(0)).alias("n_inlinks"),
+        )
+    )
+
+
+def host_pagerank(
+    graph: DataFrame, n_iter: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Weighted PageRank over the host graph by ``n_iter`` power
+    iterations → (host, pagerank).
+
+    Definition (the standard random-surfer form, link weights as
+    transition probabilities)::
+
+        rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u) · w(u,v)/W(u)
+                                   + dangling/N )
+
+    where ``W(u)`` is u's total outlink weight and ``dangling`` is the
+    rank mass sitting on hosts with no outlinks (redistributed
+    uniformly, so Σ rank = 1 is invariant every round).
+
+    Plan per iteration: edges ⋈ ranks (hash join on src_host) → one
+    partial-aggregable groupBy(dst_host) → left join back onto the node
+    set for hosts with no inlinks. The edge list (with the w/W ratio
+    precomputed) is localCheckpointed once and reused; ranks — one
+    double per host — are checkpointed per round so iteration k+1 reads
+    a materialized k, not a k-deep lineage. The dangling mass is ONE
+    driver scalar per round (bounded by construction)."""
+    nodes = (
+        graph.select(F.col("src_host").alias("host"))
+        .union(graph.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+    out_w = graph.groupBy("src_host").agg(F.sum("n_links").alias("w_total"))
+    edges = (
+        graph.join(out_w, "src_host")
+        .select(
+            "src_host",
+            "dst_host",
+            (F.col("n_links").cast("double") / F.col("w_total")).alias("ratio"),
+        )
+        .localCheckpoint()
+    )
+    sources = out_w.select(F.col("src_host").alias("host"))
+    ranks = nodes.withColumn("pagerank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(sources, "host", "left_anti")
+            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            edges.join(ranks, edges["src_host"] == ranks["host"])
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("pagerank") * F.col("ratio")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["host"] == contribs["dst_host"], "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("pagerank"),
+            )
+            .localCheckpoint()
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks
