@@ -22,7 +22,7 @@ sketch is exact below its accuracy bound. The round-3 cluster queries
 (dedup_minhash_components) replay connected components
 with a recursive-CTE transitive closure over the exact-jaccard pair set;
 media_png / media_video predict the REAL PNG/Y4M decodes from planted pixel
-formulas; wet_roundtrip closes the loop extraction → WET sink → WARC
+formulas; warc_sinks closes the loop extraction → WET/WAT sinks → WARC
 parse against ground truth, byte-for-byte.
 """
 
@@ -1318,21 +1318,55 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs).join(corpus_percentiles(docs), "lang")
 
 
-def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full WET sink round-trip: extraction successes → WARC conversion
-    (WET) segments, one per Arrow batch → parsed back through the WARC
-    source in conversion mode. The (url, text) record set must equal the
-    well-formed ground truth byte-for-byte regardless of how rows were
-    cut into segments — sink framing, Content-Length arithmetic, and the
-    conversion-record parse are all on the hook."""
-    from ocr_project_spark.sources.warc import pages_from_warc, wet_from_results
+def q_warc_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH Common-Crawl distribution sinks round-tripped in one
+    format-tagged row set (subsumes the round-4 `wet_roundtrip` row).
 
-    res = _results(spark, sf_dir).where("success").select("url", "text")
-    segs = wet_from_results(res)
-    back = pages_from_warc(
-        segs, content_col="segment", record_types=("conversion",)
+    WET rows: extraction successes → WARC conversion segments, one per
+    Arrow batch → parsed back through the WARC source in conversion mode;
+    the (url, text) record set must equal the well-formed ground truth
+    byte-for-byte regardless of how rows were cut into segments — sink
+    framing, Content-Length arithmetic, and the conversion-record parse
+    are all on the hook.
+
+    WAT rows: pages → outlink harvest → WARC *metadata* segments whose
+    payload is canonical JSON link metadata (sources/warc.wat_from_pages)
+    → parsed back in metadata mode → JVM from_json → explode. EVERY page
+    must surface (zero-outlink pages as one empty-payload row), and every
+    planted link must survive serialize→frame→parse→decode — the oracle
+    replays the whole record set from doc_id arithmetic."""
+    from ocr_project_spark.sources.warc import (
+        pages_from_warc,
+        wat_from_pages,
+        wet_from_results,
     )
-    return back.select("url", F.decode("html", "UTF-8").alias("text"))
+
+    pages = _pages(spark, sf_dir)
+    res = _results(spark, sf_dir).where("success").select("url", "text")
+    wet_back = pages_from_warc(
+        wet_from_results(res), content_col="segment", record_types=("conversion",)
+    )
+    wet_rows = wet_back.select(
+        F.lit("wet").alias("fmt"),
+        "url",
+        F.decode("html", "UTF-8").alias("payload"),
+    )
+    wat_back = pages_from_warc(
+        wat_from_pages(pages), content_col="segment", record_types=("metadata",)
+    )
+    meta = F.from_json(
+        F.decode("html", "UTF-8"),
+        "struct<links:array<struct<path:string,url:string>>,url:string>",
+    )
+    wat_rows = (
+        wat_back.select("url", F.explode_outer(meta.getField("links")).alias("l"))
+        .select(
+            F.lit("wat").alias("fmt"),
+            "url",
+            F.coalesce(F.col("l.url"), F.lit("")).alias("payload"),
+        )
+    )
+    return wet_rows.unionByName(wat_rows)
 
 
 def q_corpus_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1524,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "warc_sinks": q_warc_sinks,
         "link_graph": q_link_graph,
         "media_codecs": q_media_codecs,
         "c4_clean": q_c4_clean,
@@ -1569,7 +1604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "page_selection": q_page_selection,
         "backend_compare": q_backend_compare,
-        "wet_roundtrip": q_wet_roundtrip,
         # --- dedup families ---
         "dedup_repeated_ngrams": q_dedup_repeated_ngrams,
         "dedup_span_removal": q_dedup_span_removal,
@@ -2485,17 +2519,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # WET round-trip: the parsed-back record set equals ground truth
         # (url derivation identical to url_canonical's)
-        "wet_roundtrip": f"""
-            SELECT 'https://'
-                   || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
-                           ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+        # warc_sinks: WET rows are the byte-identity ground truth; WAT rows
+        # are the planted link set (even well-formed docs × i ∈ {1,2,3},
+        # dst host/url pure doc_id arithmetic) plus one empty-payload row
+        # per linkless page (layout-arm and malformed docs).
+        "warc_sinks": f"""
+            WITH u AS (
+                SELECT doc_id, source,
+                       'https://'
+                       || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                               ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                    || '.example.org'
+                          END
+                       || '/' || source || '/doc' || doc_id
+                       || CASE WHEN {_N_PAGES} > 1 THEN '.pdf'
+                               ELSE '.html' END AS url,
+                       text
+                FROM documents
+            )
+            SELECT 'wet' AS fmt, url, text AS payload
+            FROM u WHERE {_WELL_FORMED}
+            UNION ALL
+            SELECT 'wat' AS fmt, u.url,
+                   'https://'
+                   || CASE WHEN (doc_id + 7 * i.i) % 10 < 3
+                           THEN 'popular.example.com'
+                           ELSE 'site-'
+                                || CAST((doc_id + 7 * i.i) % 40 AS VARCHAR)
                                 || '.example.org'
                       END
-                   || '/' || source || '/doc' || doc_id
-                   || CASE WHEN {_N_PAGES} > 1 THEN '.pdf' ELSE '.html' END
-                       AS url,
-                   text
-            FROM documents WHERE {_WELL_FORMED}
+                   || '/ref/doc' || (doc_id + 7 * i.i) || '.html' AS payload
+            FROM u, (VALUES (1), (2), (3)) i(i)
+            WHERE doc_id % 2 = 0 AND {_WELL_FORMED}
+            UNION ALL
+            SELECT 'wat' AS fmt, url, '' AS payload
+            FROM u WHERE doc_id % 2 = 1 OR {_MALFORMED}
         """,
         # hash_split replay (same md5 hex-prefix bucket, same ordered
         # threshold chain) joined with the shard packing replay (the

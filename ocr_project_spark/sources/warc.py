@@ -27,13 +27,14 @@ reference's own self-synthesized-fixture pattern (SURVEY §5).
 
 from __future__ import annotations
 
+import json
 import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 CRLF = b"\r\n"
 RECORD_SEP = b"\r\n\r\n"
@@ -244,7 +245,7 @@ def wet_from_results(
     (N→1, the inverse of the 1→N segment explode): (segment binary,
     n_records). Which rows share a segment depends on partitioning — the
     RECORD SET parsed back is partitioning-invariant and oracle-checked
-    (driver query ``wet_roundtrip``); segment boundaries, like any
+    (driver query ``warc_sinks``); segment boundaries, like any
     distributed file-cut, are not a semantic surface."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -262,6 +263,77 @@ def wet_from_results(
     return results.select(url_col, text_col).mapInPandas(
         _batches, schema="segment binary, n_records long"
     )
+
+
+def build_wat_segment(records: list[tuple[str, list[str]]]) -> bytes:
+    """(url, sorted outlink urls) pairs → a WAT-analog segment (WARC
+    *metadata* records with a canonical-JSON payload — the link-metadata
+    distribution Common Crawl ships as WAT files next to WET). Payload
+    shape: ``{"links": [{"path": "A@/href", "url": …}, …], "url": …}``
+    with sorted keys and sorted link lists, so the segment is a pure
+    function of each page's link SET (never of partitioning or scan
+    order) and round-trips through :func:`parse_warc_records_with_stats`
+    (``record_types=(b"metadata",)``) byte-identically."""
+    parts = []
+    for url, links in records:
+        payload = json.dumps(
+            {"links": [{"path": "A@/href", "url": u} for u in links], "url": url},
+            sort_keys=True,
+            separators=(",", ":"),
+        ).encode("utf-8")
+        parts.append(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: metadata\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {WET_EPOCH_TS}\r\n".encode()
+            + b"Content-Type: application/json\r\n"
+            + f"Content-Length: {len(payload)}".encode()
+            + RECORD_SEP
+            + payload
+            + RECORD_SEP
+        )
+    return b"".join(parts)
+
+
+def wat_from_pages(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages(url, html) → WAT-analog segments, one per Arrow batch:
+    (segment binary, n_records). EVERY page gets a metadata record —
+    zero-outlink pages carry an empty links list (the left join below),
+    matching the WAT contract of one record per crawled response. The
+    outlink harvest is the JVM projection of functions/links.py; the only
+    exchange is the per-url link rollup (partial-aggregable collect_list
+    — bounded by a page's own link count, never corpus-sized)."""
+    from ocr_project_spark.functions.links import extract_outlinks
+
+    per_url = (
+        extract_outlinks(pages, url_col=url_col, html_col=html_col)
+        .groupBy(F.col("src_url").alias("url"))
+        .agg(F.sort_array(F.collect_list("dst_url")).alias("links"))
+    )
+    with_links = (
+        pages.select(F.col(url_col).alias("url"))
+        .join(per_url, "url", "left")
+        .withColumn(
+            "links",
+            F.coalesce("links", F.array().cast("array<string>")),
+        )
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seg = build_wat_segment(
+                [(u, list(ls)) for u, ls in zip(pdf["url"], pdf["links"])]
+            )
+            yield pd.DataFrame(
+                [{"segment": seg, "n_records": len(pdf)}],
+                columns=["segment", "n_records"],
+            )
+
+    return with_links.mapInPandas(_batches, schema="segment binary, n_records long")
 
 
 def synthesize_warc_segment(

@@ -120,3 +120,20 @@ def test_link_graph_plan_no_cartesian_and_pruned_scan(spark, pages):
     assert "MapInPandas" not in plan.split("Generate")[0].split("Scan")[0]
     g = host_graph(extract_outlinks(pages))
     assert n_nodes(plan_of(host_pagerank(g, n_iter=1)), "CartesianProduct") == 0
+
+
+def test_outlink_scan_prunes_to_url_and_html(spark, tmp_path_factory):
+    """On a parquet-backed pages table the href harvest reads ONLY
+    (url, html) — the 100 TB cost is one columnar scan of those columns."""
+    from ocr_project_spark.datagen import synthesize_pages
+    from tests.test_plans import plan_of
+
+    path = str(tmp_path_factory.mktemp("links") / "pages")
+    synthesize_pages(spark, "/root/testdata/sf0.001").write.parquet(path)
+    plan = plan_of(extract_outlinks(spark.read.parquet(path)))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "url" in read_schema and "html" in read_schema
+    for col in ("warc_ts", "text", "lang", "backend"):
+        assert col not in read_schema
+    # the harvest itself is JVM-only: no Python/Arrow stage anywhere
+    assert "MapInPandas" not in plan and "Exchange" not in plan

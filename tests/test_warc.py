@@ -208,3 +208,73 @@ def test_wet_sink_spark_roundtrip(spark):
     back = pages_from_warc(segs, content_col="segment", record_types=("conversion",))
     got = {(r["url"], bytes(r["html"]).decode()) for r in back.collect()}
     assert got == set(rows)
+
+
+def test_wat_segment_roundtrip():
+    """WAT-analog metadata records: canonical JSON payload, byte-exact
+    framing, payload a pure function of the (url, link set)."""
+    import json
+
+    from ocr_project_spark.sources.warc import (
+        build_wat_segment,
+        parse_warc_records_with_stats,
+    )
+
+    recs = [
+        ("https://a.example.org/x.html", ["https://b.org/1", "https://c.org/2"]),
+        ("https://b.example.org/y.html", []),
+    ]
+    seg = build_wat_segment(recs)
+    # response-mode parse must skip metadata records entirely
+    assert parse_warc_records_with_stats(seg)[0] == []
+    back, skipped = parse_warc_records_with_stats(seg, record_types=(b"metadata",))
+    assert skipped == 0
+    assert len(back) == 2
+    for (url, links), (got_url, _, payload) in zip(recs, back):
+        meta = json.loads(payload)
+        assert got_url == url and meta["url"] == url
+        assert [l["url"] for l in meta["links"]] == links
+        assert all(l["path"] == "A@/href" for l in meta["links"])
+    # canonical serialization: same record set → same bytes
+    assert build_wat_segment(recs) == seg
+
+
+def test_wat_sink_spark_roundtrip(spark):
+    """pages → WAT segments → parse back: every page gets a metadata
+    record (zero-outlink pages included), links survive exactly, and the
+    record set is partitioning-invariant."""
+    import json
+
+    from ocr_project_spark.sources.warc import pages_from_warc, wat_from_pages
+
+    rows = [
+        (
+            f"https://h{i}.example.org/d{i}",
+            bytearray(
+                (
+                    f'<p>body</p><a href="https://t{i}.org/a">x</a>'
+                    f'<a href="https://t{(i * 3) % 11}.org/b">y</a>'
+                    if i % 4
+                    else "<p>no links here</p>"
+                ).encode()
+            ),
+        )
+        for i in range(23)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary").repartition(5)
+    segs = wat_from_pages(pages)
+    assert segs.agg({"n_records": "sum"}).collect()[0][0] == 23
+    back = pages_from_warc(segs, content_col="segment", record_types=("metadata",))
+    got = {
+        r["url"]: json.loads(bytes(r["html"]).decode()) for r in back.collect()
+    }
+    assert len(got) == 23
+    for i in range(23):
+        url = f"https://h{i}.example.org/d{i}"
+        links = [l["url"] for l in got[url]["links"]]
+        if i % 4:
+            assert links == sorted(
+                {f"https://t{i}.org/a", f"https://t{(i * 3) % 11}.org/b"}
+            )
+        else:
+            assert links == []
