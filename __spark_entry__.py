@@ -491,21 +491,51 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recrawl dedup: union the pages table with a 1000-second-later
-    recrawl of every url; the window keeps exactly the newer capture."""
-    from ocr_project_spark.operators.resume import latest_capture
+def q_recrawl_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH recrawl operators in one family-tagged row set (subsumes the
+    round-3/4 `latest_capture` row).
+
+    `latest` rows — recrawl dedup: union the pages table with a
+    1000-second-later recrawl of every url; the window keeps exactly the
+    newer capture (epoch seconds, not timestamps: the driver session's
+    timezone is not ours, and DuckDB timestamps are naive — integers
+    compare portably).
+
+    `delta` rows — CDX-style snapshot diff (crawl_delta): the new
+    snapshot deterministically drops every doc_id % 5 = 0 url (`gone`),
+    appends a byte to every surviving doc_id % 3 = 0 payload (`changed`),
+    and adds a '?v=2' variant of every doc_id % 7 = 1 url (`added`); all
+    four statuses fire and the oracle replays them arithmetically."""
+    from ocr_project_spark.operators.resume import crawl_delta, latest_capture
 
     pages = _pages(spark, sf_dir)
     recrawl = pages.withColumn(
         "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1000 SECONDS")
     )
     kept = latest_capture(pages.unionByName(recrawl))
-    # epoch seconds, not timestamps: the driver session's timezone is not
-    # ours, and DuckDB timestamps are naive — integers compare portably
-    return kept.select(
-        "doc_id", F.unix_timestamp("warc_ts").alias("kept_epoch")
+    latest_rows = kept.select(
+        F.lit("latest").alias("family"),
+        "url",
+        F.unix_timestamp("warc_ts").alias("kept_epoch"),
+        F.lit("kept").alias("status"),
     )
+    new_snapshot = pages.where("doc_id % 5 != 0").withColumn(
+        "html",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat("html", F.lit(bytearray(b"!"))),
+        ).otherwise(F.col("html")),
+    )
+    added = pages.where("doc_id % 7 = 1").withColumn(
+        "url", F.concat("url", F.lit("?v=2"))
+    )
+    delta_rows = crawl_delta(pages, new_snapshot.unionByName(added)).select(
+        F.lit("delta").alias("family"),
+        "url",
+        F.lit(-1).cast("long").alias("kept_epoch"),
+        "status",
+    )
+    return latest_rows.unionByName(delta_rows)
 
 
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "recrawl_ops": q_recrawl_ops,
         "warc_sinks": q_warc_sinks,
         "link_graph": q_link_graph,
         "media_codecs": q_media_codecs,
@@ -1600,7 +1631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified_fields": q_unified_fields,
         "prompt_modes": q_prompt_modes,
         "locate_spans": q_locate_spans,
-        "latest_capture": q_latest_capture,
         "warc_extract": q_warc_extract,
         "page_selection": q_page_selection,
         "backend_compare": q_backend_compare,
@@ -1811,9 +1841,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(1735689600 + doc_id) AS BIGINT) AS last_epoch
             FROM documents GROUP BY 1
         """,
-        "latest_capture": """
-            SELECT doc_id, 1735689600 + doc_id + 1000 AS kept_epoch
-            FROM documents
+        # recrawl_ops: latest rows replay the +1000 s recrawl win; delta
+        # rows replay the planted snapshot diff (gone: doc_id % 5 = 0,
+        # changed: surviving % 3 = 0, added: '?v=2' variant of % 7 = 1,
+        # else unchanged) from pure arithmetic.
+        "recrawl_ops": f"""
+            WITH u AS (
+                SELECT doc_id,
+                       'https://'
+                       || CASE WHEN doc_id % 10 < 3 THEN 'popular.example.com'
+                               ELSE 'site-' || CAST(doc_id % 40 AS VARCHAR)
+                                    || '.example.org'
+                          END
+                       || '/' || source || '/doc' || doc_id
+                       || CASE WHEN {_N_PAGES} > 1 THEN '.pdf'
+                               ELSE '.html' END AS url
+                FROM documents
+            )
+            SELECT 'latest' AS family, url,
+                   1735689600 + doc_id + 1000 AS kept_epoch,
+                   'kept' AS status
+            FROM u
+            UNION ALL
+            SELECT 'delta' AS family, url, CAST(-1 AS BIGINT) AS kept_epoch,
+                   CASE WHEN doc_id % 5 = 0 THEN 'gone'
+                        WHEN doc_id % 3 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM u
+            UNION ALL
+            SELECT 'delta' AS family, url || '?v=2',
+                   CAST(-1 AS BIGINT) AS kept_epoch, 'added' AS status
+            FROM u WHERE doc_id % 7 = 1
         """,
         "url_canonical": f"""
             WITH u AS (

@@ -140,32 +140,39 @@ def host_pagerank(
     sources = out_w.select(F.col("src_host").alias("host"))
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
-    for _ in range(n_iter):
-        dangling = (
-            ranks.join(sources, "host", "left_anti")
-            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        contribs = (
-            edges.join(ranks, edges["src_host"] == ranks["host"])
-            .groupBy("dst_host")
-            .agg(F.sum(F.col("pagerank") * F.col("ratio")).alias("contrib"))
-        )
-        new_ranks = (
-            nodes.join(contribs, nodes["host"] == contribs["dst_host"], "left")
-            .select(
-                "host",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("contrib", F.lit(0.0))
-                        + F.lit(dangling / n)
-                    )
-                ).alias("pagerank"),
+    try:
+        for _ in range(n_iter):
+            dangling = (
+                ranks.join(sources, "host", "left_anti")
+                .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)))
+                .collect()[0][0]
             )
-            .localCheckpoint()
-        )
-        ranks.unpersist()
-        ranks = new_ranks
+            contribs = (
+                edges.join(ranks, edges["src_host"] == ranks["host"])
+                .groupBy("dst_host")
+                .agg(F.sum(F.col("pagerank") * F.col("ratio")).alias("contrib"))
+            )
+            new_ranks = (
+                nodes.join(contribs, nodes["host"] == contribs["dst_host"], "left")
+                .select(
+                    "host",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("contrib", F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                    ).alias("pagerank"),
+                )
+                .localCheckpoint()
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+    finally:
+        # the returned ranks are checkpointed (lineage already truncated),
+        # so the build-time node/edge blocks can be released — repeated
+        # calls in one session must not accrue cached blocks
+        nodes.unpersist()
+        edges.unpersist()
     return ranks

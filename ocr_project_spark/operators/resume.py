@@ -73,6 +73,43 @@ def latest_capture(
     )
 
 
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+) -> DataFrame:
+    """CDX-style snapshot delta: (url, status) for every url in either
+    snapshot, status ∈ {added, gone, changed, unchanged}.
+
+    The incremental-crawl planning primitive: a recrawl only needs to
+    re-extract `added` ∪ `changed`, and `gone` rows drive tombstoning.
+    Precondition: one row per url per snapshot (run :func:`latest_capture`
+    first on raw capture sets). Scale shape: payloads reduce to 16-byte
+    md5 digests BEFORE the full-outer shuffle join on url — the natural
+    pipeline key — so snapshot content never crosses the exchange."""
+    # explicit presence markers: a url with a NULL payload must still count
+    # as present (md5(NULL) is NULL, so digest nullability can't mark it)
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col)).alias("__old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col)).alias("__new"),
+        F.lit(True).alias("__in_new"),
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "gone")
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
 def write_results_bucketed(
     results: DataFrame, table: str, buckets: int = 64
 ) -> None:

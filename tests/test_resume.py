@@ -91,3 +91,48 @@ def test_latest_capture_equal_ts_tiebreak_deterministic(spark):
         out = latest_capture(df).collect()
         assert len(out) == 1
         assert bytes(out[0]["html"]) == expected
+
+
+def test_crawl_delta_all_statuses(spark):
+    from ocr_project_spark.operators.resume import crawl_delta
+
+    old = spark.createDataFrame(
+        [
+            ("u/same", bytearray(b"alpha")),
+            ("u/mod", bytearray(b"beta")),
+            ("u/dead", bytearray(b"gamma")),
+            ("u/null", None),
+        ],
+        "url string, html binary",
+    )
+    new = spark.createDataFrame(
+        [
+            ("u/same", bytearray(b"alpha")),
+            ("u/mod", bytearray(b"beta2")),
+            ("u/new", bytearray(b"delta")),
+            ("u/null", None),
+        ],
+        "url string, html binary",
+    )
+    got = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u/same": "unchanged",
+        "u/mod": "changed",
+        "u/dead": "gone",
+        "u/new": "added",
+        # NULL payloads count as present; NULL == NULL is unchanged
+        "u/null": "unchanged",
+    }
+
+
+def test_crawl_delta_null_payload_transitions(spark):
+    from ocr_project_spark.operators.resume import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u/a", None), ("u/b", bytearray(b"x"))], "url string, html binary"
+    )
+    new = spark.createDataFrame(
+        [("u/a", bytearray(b"x")), ("u/b", None)], "url string, html binary"
+    )
+    got = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert got == {"u/a": "changed", "u/b": "changed"}
