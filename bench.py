@@ -348,6 +348,21 @@ def main() -> None:
             emb.select("vec_id", "embedding"), threshold=0.95, n_cells=16
         ).count(),
     )
+    # host link-graph family: JVM href harvest → weighted edge list →
+    # 3-iteration PageRank (the driver-synchronized dangling scalar makes
+    # this a chained-jobs op like the LSH families — best-of-2)
+    from ocr_project_spark.functions.links import (
+        extract_outlinks,
+        host_graph,
+        host_pagerank,
+    )
+
+    timed(
+        "link_graph",
+        lambda: host_pagerank(
+            host_graph(extract_outlinks(pages)), n_iter=3
+        ).count(),
+    )
     # in-engine NB classifier: train on half the corpus (lang labels),
     # classify all of it — the model-based filtering stage end-to-end
     from ocr_project_spark.classify import nb_classify
