@@ -43,9 +43,18 @@ def extract_outlinks(
     """pages(url, html:binary) → one row per absolute ``<a href>``:
     (src_url, src_host, dst_url, dst_host). Pure JVM projection — the
     href regex, explode, and host parse all run inside whole-stage
-    codegen on the pruned (url, html) scan."""
+    codegen on the pruned (url, html) scan.
+
+    Crash-proof over real crawl bytes (this session runs ANSI mode):
+    the payload reaches the regex via ``CAST(binary AS STRING)`` — which,
+    unlike ``decode(…, 'utf-8')``, never throws on malformed byte
+    sequences (invalid bytes flow through and ASCII markup still matches)
+    — and hosts parse via ``try_parse_url``, so an RFC-invalid harvested
+    href (spaces etc. — common in real HTML) yields a NULL host on ITS
+    row instead of killing the job. :func:`host_graph` drops null-host
+    rows; callers that want the loss observable can count them first."""
     hrefs = F.expr(
-        f"regexp_extract_all(decode({html_col}, 'utf-8'), '{_HREF_PATTERN}', 1)"
+        f"regexp_extract_all(CAST({html_col} AS STRING), '{_HREF_PATTERN}', 1)"
     )
     return (
         pages.select(
@@ -53,9 +62,9 @@ def extract_outlinks(
         )
         .select(
             "src_url",
-            F.lower(F.parse_url("src_url", F.lit("HOST"))).alias("src_host"),
+            F.lower(F.expr("try_parse_url(src_url, 'HOST')")).alias("src_host"),
             "dst_url",
-            F.lower(F.parse_url("dst_url", F.lit("HOST"))).alias("dst_host"),
+            F.lower(F.expr("try_parse_url(dst_url, 'HOST')")).alias("dst_host"),
         )
     )
 
@@ -64,9 +73,14 @@ def host_graph(links: DataFrame) -> DataFrame:
     """Outlink rows → weighted host-level edge list
     (src_host, dst_host, n_links). One partial-aggregable groupBy; self
     edges (host linking to itself) are kept — they are real crawl signal
-    and both degree and PageRank definitions below handle them."""
+    and both degree and PageRank definitions below handle them. Rows
+    whose host failed to parse (NULL from try_parse_url) are dropped
+    here: a hostless endpoint has no place in a host graph."""
     return (
-        links.groupBy("src_host", "dst_host")
+        links.where(
+            F.col("src_host").isNotNull() & F.col("dst_host").isNotNull()
+        )
+        .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
 
@@ -118,15 +132,6 @@ def host_pagerank(
     double per host — are checkpointed per round so iteration k+1 reads
     a materialized k, not a k-deep lineage. The dangling mass is ONE
     driver scalar per round (bounded by construction)."""
-    nodes = (
-        graph.select(F.col("src_host").alias("host"))
-        .union(graph.select(F.col("dst_host").alias("host")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("pagerank", F.lit(0.0))
     out_w = graph.groupBy("src_host").agg(F.sum("n_links").alias("w_total"))
     edges = (
         graph.join(out_w, "src_host")
@@ -137,7 +142,23 @@ def host_pagerank(
         )
         .localCheckpoint()
     )
-    sources = out_w.select(F.col("src_host").alias("host"))
+    # node set from the CHECKPOINTED edges — the caller's (possibly
+    # expensive, uncached) graph lineage is computed exactly once, at the
+    # edges checkpoint above
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        return nodes.withColumn("pagerank", F.lit(0.0))
+    # derive the non-dangling set from the CHECKPOINTED edges, not from
+    # the caller's graph lineage — otherwise every per-iteration dangling
+    # collect would recompute the whole upstream scan/harvest/groupBy
+    sources = edges.select(F.col("src_host").alias("host")).distinct()
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     try:

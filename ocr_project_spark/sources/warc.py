@@ -299,21 +299,25 @@ def wat_from_pages(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """pages(url, html) → WAT-analog segments, one per Arrow batch:
-    (segment binary, n_records). EVERY page gets a metadata record —
-    zero-outlink pages carry an empty links list (the left join below),
-    matching the WAT contract of one record per crawled response. The
-    outlink harvest is the JVM projection of functions/links.py; the only
-    exchange is the per-url link rollup (partial-aggregable collect_list
-    — bounded by a page's own link count, never corpus-sized)."""
+    (segment binary, n_records). EVERY distinct url gets exactly one
+    metadata record — zero-outlink pages carry an empty links list (the
+    left join below). Multi-capture inputs (the same url fetched more
+    than once) collapse to one record whose links are the union across
+    captures; reduce with ``latest_capture`` first when per-capture
+    fidelity matters. The outlink harvest is the JVM projection of
+    functions/links.py; the only exchanges are the per-url link rollup
+    (partial-aggregable collect_list — bounded by a page's own link
+    count, never corpus-sized) and the url distinct."""
     from ocr_project_spark.functions.links import extract_outlinks
 
     per_url = (
         extract_outlinks(pages, url_col=url_col, html_col=html_col)
         .groupBy(F.col("src_url").alias("url"))
-        .agg(F.sort_array(F.collect_list("dst_url")).alias("links"))
+        .agg(F.sort_array(F.collect_set("dst_url")).alias("links"))
     )
     with_links = (
         pages.select(F.col(url_col).alias("url"))
+        .distinct()
         .join(per_url, "url", "left")
         .withColumn(
             "links",

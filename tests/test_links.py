@@ -137,3 +137,49 @@ def test_outlink_scan_prunes_to_url_and_html(spark, tmp_path_factory):
         assert col not in read_schema
     # the harvest itself is JVM-only: no Python/Arrow stage anywhere
     assert "MapInPandas" not in plan and "Exchange" not in plan
+
+
+def test_malformed_href_and_invalid_utf8_do_not_kill_the_job(spark):
+    """ANSI-mode crash-proofing: a non-UTF-8 payload byte and an
+    RFC-invalid harvested href must degrade per-row (NULL host, dropped
+    by host_graph), never fail the job."""
+    html = bytearray(
+        b'\xff\xfe<a href="https://ok.org/a">x</a>'
+        b'<a href="https://bad.org/foo bar">y</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://src.org/p", html)], "url string, html binary"
+    )
+    out = extract_outlinks(pages).collect()
+    assert {(r["dst_url"], r["dst_host"]) for r in out} == {
+        ("https://ok.org/a", "ok.org"),
+        ("https://bad.org/foo bar", None),  # invalid url → NULL host, row kept
+    }
+    g = host_graph(extract_outlinks(pages))
+    assert {(r["src_host"], r["dst_host"]) for r in g.collect()} == {
+        ("src.org", "ok.org")
+    }
+
+
+def test_wat_sink_collapses_multi_capture_urls(spark):
+    """Duplicate urls (multi-capture input) yield ONE metadata record per
+    distinct url with the link union across captures."""
+    import json
+
+    from ocr_project_spark.sources.warc import pages_from_warc, wat_from_pages
+
+    rows = [
+        ("https://h.org/d", bytearray(b'<a href="https://x.org/1">a</a>')),
+        ("https://h.org/d", bytearray(b'<a href="https://x.org/2">b</a>')),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    segs = wat_from_pages(pages)
+    assert segs.agg({"n_records": "sum"}).collect()[0][0] == 1
+    back = pages_from_warc(segs, content_col="segment", record_types=("metadata",))
+    recs = back.collect()
+    assert len(recs) == 1
+    meta = json.loads(bytes(recs[0]["html"]).decode())
+    assert [l["url"] for l in meta["links"]] == [
+        "https://x.org/1",
+        "https://x.org/2",
+    ]
