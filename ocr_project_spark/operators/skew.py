@@ -40,7 +40,11 @@ DEFAULT_SALT_BUCKETS = 16
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return df.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+    # try_parse_url: an RFC-invalid crawl url (WARC-Target-URI is untrusted)
+    # gets a NULL host group instead of failing the job under ANSI mode
+    return df.withColumn(
+        "host", F.expr(f"try_parse_url({url_col}, 'HOST')")
+    )
 
 
 def hot_hosts(

@@ -116,7 +116,7 @@ def host_totals_stream(
 
     pages = spark.readStream.schema(STREAM_PAGES_SCHEMA).parquet(input_path)
     keyed = pages.select(
-        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.expr("try_parse_url(url, 'HOST')").alias("host"),
         F.length("html").alias("n_bytes"),
     )
 

@@ -734,7 +734,11 @@ def lang_id(
     (tests/test_textops.py); the driver oracle holds it to ground truth on
     the synthetic corpus."""
     profiles = profiles or LANGID_PROFILES
-    text = F.lower(F.decode(F.col(payload_col), "UTF-8"))
+    # CAST, not decode(): under ANSI mode decode throws
+    # MALFORMED_CHARACTER_CODING on any non-UTF-8 byte (real crawl payloads
+    # have them), killing the job; the cast passes invalid bytes through
+    # and profile words still match in the valid regions
+    text = F.lower(F.col(payload_col).cast("string"))
     words = F.split(text, r"[^\p{L}]+")
 
     def hits(lang: str):

@@ -230,3 +230,16 @@ def test_cap_per_host_approximate_no_window_no_host_sort(spark):
     plan = plan_of(cap_per_host(df, max_per_host=2, approximate=True))
     assert n_nodes(plan, "Window") == 0
     assert "row_number" not in plan
+
+
+def test_with_host_tolerates_invalid_urls(spark):
+    """ANSI-mode crash-proofing: an RFC-invalid crawl url gets a NULL host
+    group instead of killing host aggregation."""
+    from ocr_project_spark.operators.skew import with_host
+
+    df = spark.createDataFrame(
+        [("https://ok.org/a",), ("https://bad host/with space",)], "url string"
+    )
+    rows = {r["url"]: r["host"] for r in with_host(df).collect()}
+    assert rows["https://ok.org/a"] == "ok.org"
+    assert rows["https://bad host/with space"] is None

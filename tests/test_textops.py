@@ -620,3 +620,14 @@ def test_gopher_gate_emit_all_matches_filter(spark, documents):
     }
     assert len(flagged) == documents.count()
     assert {d for d, p in flagged.items() if p} == survivors
+
+
+def test_lang_id_survives_invalid_utf8_payload(spark):
+    """ANSI-mode crash-proofing: a non-UTF-8 byte in a crawl payload must
+    not fail the job; the valid regions still classify."""
+    from ocr_project_spark.textops import lang_id
+
+    payload = bytearray(b"\xff\xfe the and for are with that homepage about")
+    df = spark.createDataFrame([(1, payload)], "doc_id long, html binary")
+    rows = lang_id(df).collect()
+    assert len(rows) == 1 and rows[0]["pred_lang"] == "en"
