@@ -548,9 +548,13 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; = 7 → digit-heavy host on a spam TLD; else the clean url), so
     both firing and non-firing paths of every signal are oracle-replayed
     arithmetically (occurrence counts, TLD regex, integer digit-majority
-    gate, path depth)."""
+    gate, path depth). Each row also carries the url's SURT key (the
+    public Wayback/Common-Crawl CDX index key: host dot-reversed — what
+    makes a registered domain one contiguous sort range at 100 TB),
+    replayed arithmetically by the oracle."""
     from ocr_project_spark.functions.urls import (
         canonicalize_urls,
+        surt_key,
         url_spam_scores,
     )
 
@@ -594,6 +598,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         F.col("canonical_url").alias("url"),
+        surt_key(F.col("canonical_url")).alias("surt"),
         "n_spam_words",
         "bad_tld",
         "n_host_digits",
@@ -1918,7 +1923,13 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS path_depth
                 FROM h
             )
-            SELECT doc_id, url, n_spam_words, bad_tld, n_host_digits,
+            SELECT z.doc_id, z.url,
+                   CASE WHEN z.doc_id % 10 < 3 THEN 'com,example,popular'
+                        ELSE 'org,example,site-'
+                             || CAST(z.doc_id % 40 AS VARCHAR)
+                   END || ')' || regexp_replace(z.url, '^https://[^/]*', '')
+                       AS surt,
+                   n_spam_words, bad_tld, n_host_digits,
                    host_len,
                    n_host_digits * 2 > host_len AS digit_heavy_host,
                    path_depth,

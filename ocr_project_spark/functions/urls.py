@@ -57,6 +57,33 @@ def canonicalize_urls(
     return pages.withColumn(out_col, canonical_url(F.col(url_col)))
 
 
+def surt_key(col: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the public
+    Wayback/Common-Crawl CDX index key form): scheme dropped, authority
+    lowercased and dot-reversed comma-joined, then ``)`` + the rest of
+    the url — ``https://sub.Example.com/a/b?q=1`` →
+    ``com,example,sub)/a/b?q=1``. Sorting by SURT clusters a registered
+    domain's every host and path into one contiguous range, which is what
+    makes range-scans over a url-keyed 100 TB index work. Feed it
+    CANONICAL urls (:func:`canonical_url` — fragment gone, default ports
+    stripped); a remaining non-default port follows the reversed host
+    (``com,example,www:8080)``), matching the published form. Pure JVM
+    expression chain, zero exchange."""
+    host = F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    port = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+(:[0-9]+)", 1
+    )
+    rest = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        port,
+        F.lit(")"),
+        rest,
+    )
+
+
 # Soft spam-fragment list and spam-heavy TLDs, after the published URL
 # filtering stage of C4 (Raffel et al. 2020, "bad words" URL screening)
 # and RefinedWeb (Penedo et al. 2023, §3.1 URL filtering: word fragments

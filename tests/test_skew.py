@@ -243,3 +243,26 @@ def test_with_host_tolerates_invalid_urls(spark):
     rows = {r["url"]: r["host"] for r in with_host(df).collect()}
     assert rows["https://ok.org/a"] == "ok.org"
     assert rows["https://bad host/with space"] is None
+
+
+def test_surt_key_published_form(spark):
+    """SURT: scheme dropped, host dot-reversed comma-joined, port after the
+    reversed host, path/query kept verbatim."""
+    from ocr_project_spark.functions.urls import surt_key
+
+    df = spark.createDataFrame(
+        [
+            ("https://sub.Example.com/a/b?q=1",),
+            ("http://example.com:8080/x",),
+            ("https://host/",),
+            ("https://example.org",),
+        ],
+        "url string",
+    )
+    got = [r["s"] for r in df.select(surt_key(df.url).alias("s")).collect()]
+    assert got == [
+        "com,example,sub)/a/b?q=1",
+        "com,example:8080)/x",
+        "host)/",
+        "org,example)",
+    ]
