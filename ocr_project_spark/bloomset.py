@@ -117,6 +117,8 @@ def bloom_build(
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """OR together filters built with identical (m_bits, k_probes, salt) —
     the incremental-snapshot accretion path; never rebuild history."""
+    if not filters:
+        raise ValueError("bloom_merge requires at least one filter")
     out = filters[0]
     for f in filters[1:]:
         out = out.unionByName(f)

@@ -117,7 +117,12 @@ def nb_predict(
     )
     ndoc = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens_doc"),
+        # greatest(…, 0): size() of a NULL text is NULL under ANSI (-1 in
+        # legacy mode) — either would corrupt the length-normalization
+        # term; a NULL-text doc must score ln(prior) exactly (0 tokens)
+        F.greatest(
+            F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
+        ).alias("n_tokens_doc"),
     )
     scaffold = ndoc.crossJoin(
         F.broadcast(classes.crossJoin(F.broadcast(n_train_df)))

@@ -54,6 +54,10 @@ def zigzag_order() -> list[int]:
 
 ZIGZAG = zigzag_order()
 
+# decode sanity cap: 64 MP covers any plausible crawl image while bounding
+# worst-case block allocations to well under a GB (see the SOF check)
+MAX_DECODE_PIXELS = 64_000_000
+
 # orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 · cos((2x+1)uπ/16);
 # the spec FDCT is F = A f Aᵀ and the IDCT is f = Aᵀ F A
 _A = np.array(
@@ -203,6 +207,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them, or a spec-legal FF FF DB sequence would parse
+        # 0xFF as the marker and garbage as the segment length
+        while pos + 4 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -238,6 +249,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h, w = struct.unpack(">HH", body[1:5])
+            # cap total pixels: a tiny payload can declare 65535x65535 and
+            # drive tens of GB of block allocations — the resulting
+            # MemoryError would escape the ValueError contract and kill
+            # the whole Arrow batch instead of one corrupt row
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed decode limit "
+                    f"({MAX_DECODE_PIXELS} pixels)"
+                )
             ncomp = body[5]
             comps = []
             for c in range(ncomp):
@@ -271,6 +291,10 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
+    if len(by_id) != len(comps):
+        # duplicate component ids would silently interleave two components'
+        # blocks into one plane — malformed frames must raise, not decode
+        raise ValueError("duplicate component ids in JPEG frame")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))

@@ -123,3 +123,23 @@ def test_nb_train_keeps_class_with_all_null_text(spark):
         for r in nb_predict(docs, model, classes).collect()
     }
     assert got == {1: "spam", 2: "ham"}
+
+
+def test_nb_predict_null_text_scores_prior_only(spark):
+    """A NULL-text doc has 0 tokens: its score must be ln(prior) exactly
+    (size(NULL) is NULL under ANSI / -1 legacy — either would corrupt the
+    length-normalization term and flip the argmax)."""
+    from ocr_project_spark.classify import nb_classify
+
+    train = spark.createDataFrame(
+        # class 'big' has a huge token mass but a small prior; 'tiny' the
+        # reverse — a corrupted normalization term prefers 'big'
+        [("tiny", "one")]
+        + [("big", "alpha beta gamma delta epsilon zeta eta theta")] * 3
+        + [("tiny", "one")] * 5,
+        "label string, text string",
+    )
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    rows = nb_classify(train, docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["pred_label"] == "tiny"  # argmax = highest prior

@@ -286,3 +286,47 @@ def test_structurally_broken_jpegs_raise_valueerror_not_keyerror():
     short_sof = b"\xff\xd8" + seg(0xC0, bytes([8, 0, 8])) + b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_jpeg(short_sof)
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: extra 0xFF padding before a marker is spec-legal and
+    must not be parsed as a marker itself."""
+    from ocr_project_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16, 1), 128, dtype=np.uint8)
+    payload = encode_jpeg(img, gray=True)
+    # insert a fill byte before the first post-SOI marker (SOI is bytes 0-1)
+    assert payload[2] == 0xFF
+    padded = payload[:2] + b"\xff" + payload[2:]
+    out = decode_jpeg(padded)
+    assert out.shape[:2] == (16, 16)
+
+
+def test_huge_declared_dimensions_raise_valueerror():
+    """A tiny payload declaring 65535x65535 must raise ValueError (the
+    corrupt-row path), never allocate its way to a MemoryError."""
+    import struct
+
+    import pytest
+
+    from ocr_project_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.zeros((8, 8, 1), dtype=np.uint8), gray=True))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="exceed decode limit"):
+        decode_jpeg(bytes(payload))
+
+
+def test_duplicate_component_ids_raise_valueerror():
+    import pytest
+
+    from ocr_project_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    # component ids live at offsets 10, 13, 16 within the SOF0 segment
+    # (marker+len+precision+h+w+ncomp, then 3 bytes per component)
+    payload[i + 10] = payload[i + 13]  # duplicate the second component's id
+    with pytest.raises(ValueError, match="duplicate component ids"):
+        decode_jpeg(bytes(payload))

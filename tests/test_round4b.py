@@ -553,3 +553,12 @@ def test_canonical_url_strips_port_before_query(spark):
         "https://example.com?x=1",
         "https://example.com:8443/a",
     ]
+
+
+def test_bloom_merge_requires_a_filter():
+    import pytest
+
+    from ocr_project_spark.bloomset import bloom_merge
+
+    with pytest.raises(ValueError, match="at least one filter"):
+        bloom_merge()
