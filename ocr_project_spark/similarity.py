@@ -232,7 +232,10 @@ def _cosine(vec_a, vec_b):
             lambda acc, x: acc + x,
         )
     )
-    return dot / (norm(vec_a) * norm(vec_b))
+    # greatest(…, 1e-12): a zero-norm vector must score cosine 0 on its
+    # own rows, not raise DIVIDE_BY_ZERO under ANSI and kill the job —
+    # the numpy kernels in this file guard the same way
+    return dot / F.greatest(norm(vec_a) * norm(vec_b), F.lit(1e-12))
 
 
 def brute_force_topk(
@@ -304,7 +307,7 @@ def lsh_bucket(
             yield pd.concat(frames, ignore_index=True)
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        _bucket, schema="vec_id long, table int, bucket long, embedding array<float>"
+        _bucket, schema="vec_id long, table int, bucket long, embedding array<double>"
     )
 
 
@@ -330,6 +333,13 @@ def ivf_centroids(
     hook for tiny corpora). Deterministic: ordered slice + seeded init,
     fixed iteration count."""
     target = target_points or 1000 * n_cells
+    if sample_fraction is not None and 0.0 < sample_fraction < 1.0:
+        raise ValueError(
+            "fractional sample_fraction is not supported (sampling would "
+            "break repartition-invariance); size the slice with "
+            "target_points, or pass sample_fraction>=1.0 to train on "
+            "every row"
+        )
     if sample_fraction is not None and sample_fraction >= 1.0:
         src = embeddings.select("embedding")
     else:
@@ -441,7 +451,7 @@ def _assign_cells(embeddings: DataFrame, centroids: np.ndarray, id_alias: str) -
             )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        _cells, schema=f"{id_alias} long, cell int, embedding array<float>"
+        _cells, schema=f"{id_alias} long, cell int, embedding array<double>"
     )
 
 
@@ -493,7 +503,7 @@ def ivf_topk(
             )
 
     query_cells = queries.select("vec_id", "embedding").mapInPandas(
-        _probe, schema="query_id long, cell int, embedding array<float>"
+        _probe, schema="query_id long, cell int, embedding array<double>"
     ).select("query_id", "cell", F.col("embedding").cast("array<double>").alias("vec_q"))
 
     scored = corpus_cells.join(F.broadcast(query_cells), "cell").where(

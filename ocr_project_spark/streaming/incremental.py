@@ -18,6 +18,8 @@ trigger for a long-running continuous job on a cluster.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
@@ -200,23 +202,30 @@ def _write_index_partition(
         _insert_overwrite_dynamic(df, table)
 
 
+_OVERWRITE_LOCK = threading.Lock()
+
+
 def _insert_overwrite_dynamic(df, table: str) -> None:
     """insertInto(mode=overwrite) scoped to the partitions present in
     ``df``. The partitionOverwriteMode DataFrameWriter *option* is not
     honored for insertInto on this Spark line (verified: it silently
     truncates the whole table), so the session conf is set and restored
-    around the write."""
+    around the write — under a process-wide lock, because the conf is
+    session-GLOBAL: two concurrent foreachBatch threads interleaving
+    set/restore could run one write in static mode, which truncates the
+    entire accumulated index."""
     sess = df.sparkSession
     key = "spark.sql.sources.partitionOverwriteMode"
-    prev = sess.conf.get(key, None)
-    sess.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").insertInto(table)
-    finally:
-        if prev is None:
-            sess.conf.unset(key)
-        else:
-            sess.conf.set(key, prev)
+    with _OVERWRITE_LOCK:
+        prev = sess.conf.get(key, None)
+        sess.conf.set(key, "dynamic")
+        try:
+            df.write.mode("overwrite").insertInto(table)
+        finally:
+            if prev is None:
+                sess.conf.unset(key)
+            else:
+                sess.conf.set(key, prev)
 
 
 def near_dup_index_pairs(

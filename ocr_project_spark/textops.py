@@ -47,11 +47,14 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.length(t).alias("n_chars"),
         n_words.alias("n_words"),
-        F.floor(chars_no_space * 100 / n_words).cast("long").alias(
+        # cast to long BEFORE multiplying: a single mega-document
+        # (>21.4M non-space chars / >214k stopword hits) overflows the
+        # 32-bit intermediate and, under ANSI, kills the whole pass
+        F.floor(chars_no_space.cast("long") * 100 / n_words).cast("long").alias(
             "avg_word_len_x100"
         ),
         stop_hits.cast("long").alias("stopword_hits"),
-        F.floor(stop_hits * 10000 / n_words).cast("long").alias(
+        F.floor(stop_hits.cast("long") * 10000 / n_words).cast("long").alias(
             "stopword_ratio_x10000"
         ),
     )
@@ -101,9 +104,9 @@ def gopher_gate(
     words = F.split(t, " ")
     n_words = F.size(words)
     chars_no_space = F.length(F.regexp_replace(t, " ", ""))
-    avg_wl = F.floor(chars_no_space * 100 / n_words).cast("long")
+    avg_wl = F.floor(chars_no_space.cast("long") * 100 / n_words).cast("long")
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
-    alpha_ratio = F.floor(alpha_words * 100 / n_words).cast("long")
+    alpha_ratio = F.floor(alpha_words.cast("long") * 100 / n_words).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_hits = F.size(
         F.filter(words, lambda w: F.array_contains(stop_arr, w))
@@ -268,7 +271,11 @@ def shard_by_token_budget(
             [], "doc_id long, n_tokens long, shard long"
         )
     width = max((hi - lo + 1), 1)
-    bucket = F.floor((F.col("doc_id") - F.lit(lo)) * n_parts / F.lit(width))
+    # bucket by DIVISION, not (id-lo)*n_parts/width: the multiply overflows
+    # long for wide id spans (any 64-bit-hash id scheme) and aborts under
+    # ANSI; ceil-width division gives the same n_parts equal ranges
+    per_bucket = max(-(-width // n_parts), 1)
+    bucket = F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(per_bucket))
     base = docs.select(
         F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens")
     ).withColumn("__part", bucket.cast("int"))
@@ -415,6 +422,8 @@ def rolling_fingerprints(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if not isinstance(text, str):
+                    text = ""  # NULL text: fingerprint the empty string
                 codes = np.frombuffer(
                     text.encode("utf-32-le"), dtype=np.uint32
                 )
@@ -514,7 +523,12 @@ def gram_hashes(
 
     def _grams(batches):
         for pdf in batches:
-            word_lists = [t.split(" ") for t in pdf[text_col].values]
+            # None-tolerant: a NULL text is an empty word list, never an
+            # AttributeError that kills the Arrow batch
+            word_lists = [
+                t.split(" ") if isinstance(t, str) else []
+                for t in pdf[text_col].values
+            ]
             if not word_lists:
                 yield pd.DataFrame({"doc_id": [], "gram_hash": []}).astype(
                     {"doc_id": "int64", "gram_hash": "int64"}
@@ -528,6 +542,8 @@ def gram_hashes(
             for did, length in zip(pdf[id_col].values, lens):
                 h = hashes[off : off + length]
                 off += length
+                if length == 0:  # NULL text: zero grams, never a crash
+                    continue
                 if length >= n:
                     gh = sliding_window_view(h, n) @ coef
                 else:
@@ -535,6 +551,11 @@ def gram_hashes(
                 gh = np.unique(gh)
                 out_ids.append(np.full(len(gh), did, dtype=np.int64))
                 out_hashes.append(gh.view(np.int64))
+            if not out_ids:
+                yield pd.DataFrame({"doc_id": [], "gram_hash": []}).astype(
+                    {"doc_id": "int64", "gram_hash": "int64"}
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": np.concatenate(out_ids),
@@ -1131,14 +1152,22 @@ def importance_weights(
             "sum_raw_df",
             "sum_target_df",
             (
-                (
-                    F.col("sum_target_df").cast("double")
-                    / F.col("target_total").cast("double")
-                )
-                / (
-                    F.col("sum_raw_df").cast("double")
-                    / F.col("raw_total").cast("double")
-                )
+                # when(target_total > 0): the selected column already
+                # guards the empty-target case, but the weight division
+                # itself would raise DIVIDE_BY_ZERO under ANSI for any
+                # caller that reads it (0/0) — weight 0.0 matches
+                # "select nothing" semantics
+                F.when(
+                    F.col("target_total") > 0,
+                    (
+                        F.col("sum_target_df").cast("double")
+                        / F.col("target_total").cast("double")
+                    )
+                    / (
+                        F.col("sum_raw_df").cast("double")
+                        / F.col("raw_total").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
             ).alias("weight"),
             (
                 # target_total > 0: an empty target corpus must select

@@ -276,3 +276,28 @@ def test_ivf_centroids_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="empty embeddings"):
         ivf_centroids(empty, n_cells=4)
+
+
+def test_zero_norm_embedding_does_not_kill_cosine_ops(spark):
+    """ANSI-mode crash-proofing: one all-zeros vector must not raise
+    DIVIDE_BY_ZERO across the cosine family; it simply scores 0."""
+    from ocr_project_spark.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(emb, emb.where("vec_id = 2"), k=2).collect()
+    assert len(out) == 2  # ranks exist; the zero vector scored 0, not a crash
+
+
+def test_fractional_sample_fraction_rejected(spark):
+    import pytest
+
+    from ocr_project_spark.similarity import ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="fractional sample_fraction"):
+        ivf_centroids(emb, n_cells=1, sample_fraction=0.5)

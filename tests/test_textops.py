@@ -631,3 +631,59 @@ def test_lang_id_survives_invalid_utf8_payload(spark):
     df = spark.createDataFrame([(1, payload)], "doc_id long, html binary")
     rows = lang_id(df).collect()
     assert len(rows) == 1 and rows[0]["pred_lang"] == "en"
+
+
+def test_gram_and_fingerprint_paths_tolerate_null_text(spark):
+    """NULL text must yield zero grams / an empty-string fingerprint, not
+    an AttributeError that kills the Arrow batch."""
+    from ocr_project_spark.textops import gram_hashes, rolling_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    g = gram_hashes(docs, n=2).collect()
+    assert {r["doc_id"] for r in g} == {2}
+    f = rolling_fingerprints(docs).collect()
+    assert {r["doc_id"] for r in f} == {1, 2}
+
+
+def test_quality_scores_survive_mega_document(spark):
+    """A single huge document must not overflow the 32-bit x100/x10000
+    intermediates (ANSI would abort the whole corpus pass)."""
+    from ocr_project_spark.textops import gopher_gate, quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 22_000_000),      # chars_no_space*100 > int32
+            (2, "the " * 250_000),      # stop_hits*10000 > int32
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert rows[1]["avg_word_len_x100"] == 2_200_000_000
+    assert rows[2]["stopword_ratio_x10000"] > 0
+    gopher_gate(docs, emit_all=True).collect()  # must not raise
+
+
+def test_shard_bucketing_survives_wide_id_span(spark):
+    """Hash-derived 64-bit doc ids must not overflow the bucket arithmetic."""
+    from ocr_project_spark.textops import shard_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (2**62, "d e f")], "doc_id long, text string"
+    )
+    out = shard_by_token_budget(docs).collect()
+    assert len(out) == 2
+
+
+def test_importance_weights_empty_target_weight_is_zero(spark):
+    """The weight COLUMN itself (not just `selected`) must be readable on
+    an empty target corpus — 0/0 would abort under ANSI."""
+    from ocr_project_spark.textops import importance_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    empty = docs.where("doc_id < 0")
+    rows = importance_weights(docs, empty).select("doc_id", "weight").collect()
+    assert rows[0]["weight"] == 0.0
