@@ -61,7 +61,15 @@ def exact_dup_groups(
     recovers the duplicate groups — one aggregation serving both views.
     Map-side partial aggregation keeps the shuffle to one row per distinct
     hash."""
-    grouped = docs.groupBy(F.md5(F.col(text_col)).alias("content_md5")).agg(
+    # NULL text must not collapse into one fake duplicate group (md5(NULL)
+    # is NULL — grouping would keep ONE of the corpus's failed-extraction
+    # rows and silently drop the rest); key NULLs by their own id so each
+    # is its own group
+    key = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null-text-"), F.col(id_col).cast("string")),
+    )
+    grouped = docs.groupBy(key.alias("content_md5")).agg(
         F.min(id_col).alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
@@ -77,8 +85,12 @@ def dedup_keep(
     content hash) — the corpus a training pipeline actually keeps. One
     map-side-combinable aggregation; no join back needed when downstream
     only requires ids."""
+    key = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null-text-"), F.col(id_col).cast("string")),
+    )
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        docs.groupBy(key.alias("content_md5"))
         .agg(F.min(id_col).alias("doc_id"))
         .select("doc_id")
     )
@@ -101,7 +113,11 @@ def prefix_dup_groups(
 
 
 def shingle_sets(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc (JVM: sequence/transform)."""
     words = F.split(F.col(text_col), " ")
@@ -112,7 +128,10 @@ def shingle_sets(
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
     )
-    return docs.select(F.col(id_col).alias("doc_id"), grams.alias("shingles"))
+    extra = [F.col(c) for c in keep]
+    return docs.select(
+        F.col(id_col).alias("doc_id"), grams.alias("shingles"), *extra
+    )
 
 
 def repeated_ngram_spans(
@@ -254,7 +273,12 @@ def remove_repeated_lines(
         F.posexplode(lines_arr).alias("pos", "line"),
     )
     rep = (
-        l.groupBy("line")
+        # empty/whitespace-only lines are paragraph STRUCTURE, not content:
+        # every blank separator "repeats" corpus-wide, so without this
+        # filter the pass would strip all paragraph boundaries from every
+        # document
+        l.where(F.trim(F.col("line")) != "")
+        .groupBy("line")
         .agg(F.countDistinct("doc_id").alias("__nd"))
         .where(F.col("__nd") >= min_docs)
         .select("line")
@@ -297,10 +321,9 @@ def ngram_jaccard_pairs(
     small enough to enumerate (at 100 TB the blocked all-pairs is replaced by
     minhash_candidate_pairs + the same verify step).
     """
-    s = shingle_sets(docs.select(text_col, block_col, "doc_id"), n, text_col)
-    blocked = s.join(
-        docs.select("doc_id", F.col(block_col).alias("block")), "doc_id"
-    )
+    blocked = shingle_sets(
+        docs.select(text_col, block_col, "doc_id"), n, text_col, keep=(block_col,)
+    ).withColumnRenamed(block_col, "block")
     a = blocked.select(
         F.col("block"),
         F.col("doc_id").alias("id_a"),
@@ -501,6 +524,19 @@ def minhash_band_rows_from_hashes(
     )
 
 
+def _band_bucket_pairs(banded: DataFrame) -> DataFrame:
+    """Band rows → distinct candidate id pairs via the bucket self-join
+    (shared by every LSH caller so a future skew hint or cap lands once)."""
+    a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
+    b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame, bands: int = 16
 ) -> DataFrame:
@@ -510,15 +546,7 @@ def minhash_candidate_pairs(
     with a single member produce no pairs. Same shape as the simhash chunk
     join; AQE's skew-join split is the backstop for a degenerate hot bucket.
     """
-    banded = minhash_band_rows(signatures, bands)
-    a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
-    b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _band_bucket_pairs(minhash_band_rows(signatures, bands))
 
 
 def minhash_near_dup_pairs(
@@ -563,14 +591,7 @@ def minhash_near_dup_pairs(
             .select("band_idx", "band_hash")
         )
         banded = banded.join(ok_buckets, ["band_idx", "band_hash"], "left_semi")
-    a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
-    b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
-    cands = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = _band_bucket_pairs(banded)
     sh = shingle_sets(docs, n, text_col)
     verified = (
         cands.join(
@@ -666,9 +687,13 @@ def simhash_signatures(
     bit_idx = np.arange(bits, dtype=np.uint64)
     hashed = docs.select(
         "doc_id",
-        F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)).alias(
-            "whashes"
-        ),
+        # coalesce NULL text to '': split('') = [''] — one empty-word hash,
+        # the same posture as shingle_sets' guard — instead of a NULL array
+        # that crashes the Arrow kernel (len(None))
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda w: F.xxhash64(w),
+        ).alias("whashes"),
     )
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -693,20 +718,33 @@ def simhash_signatures(
 def simhash_near_dup_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """SimHash near-dup: band the 64-bit signature into 4 16-bit chunks
-    (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), bucket-join on
-    chunk value, verify with JVM ``bit_count(xor)``."""
+    """SimHash near-dup: band the 64-bit signature into ``max_hamming + 1``
+    chunks (pigeonhole: ≤ max_hamming differing bits across k+1 chunks ⇒ at
+    least one chunk identical — the chunk count DERIVES from the radius, so
+    no radius silently loses recall), bucket-join on (chunk index, chunk
+    value), verify with JVM ``bit_count(xor)``. The default radius 3 gives
+    the classic 4×16-bit banding."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def _chunk(i: int):
+        if widths[i] == 64:
+            return F.col("simhash")
+        # arithmetic shiftright is safe: the mask keeps only chunk bits
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
     sigs = simhash_signatures(docs, text_col)
     chunks = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
+            F.array(*[_chunk(i) for i in range(n_chunks)])
         ).alias("chunk_idx", "chunk_val"),
     )
     a = chunks.select(

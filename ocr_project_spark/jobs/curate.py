@@ -93,6 +93,18 @@ def main(argv=None, spark=None) -> None:
         n0 = docs.count()
         print(f"curate: input {n0} documents")
 
+        # per-stage counts ride the ONE final write action as observed
+        # metrics — a .count() per stage would re-execute the whole
+        # un-persisted upstream chain once per enabled stage
+        from pyspark.sql import Observation, functions as F
+
+        observations: list[tuple[str, Observation]] = []
+
+        def _observe(df, label):
+            obs = Observation(label)
+            observations.append((label, obs))
+            return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
         def _restore(text_df):
             """Re-attach passthrough columns after a text-rewriting stage."""
             if not extra_cols:
@@ -110,13 +122,14 @@ def main(argv=None, spark=None) -> None:
         if args.c4_clean:
             from ocr_project_spark.textops import c4_line_filter
 
-            docs = _restore(
-                c4_line_filter(docs)
-                .where("kept")
-                .drop("kept", "blocked", "n_lines", "n_lines_kept")
+            docs = _observe(
+                _restore(
+                    c4_line_filter(docs)
+                    .where("kept")
+                    .drop("kept", "blocked", "n_lines", "n_lines_kept")
+                ),
+                "C4 line filter",
             )
-            n = docs.count()
-            print(f"curate: C4 line filter kept {n} documents")
         if args.redact_pii:
             from ocr_project_spark.textops import redact_pii
 
@@ -127,31 +140,35 @@ def main(argv=None, spark=None) -> None:
             from ocr_project_spark.textops import decontaminate
 
             eval_docs = spark.read.parquet(args.decontaminate_against)
-            docs = decontaminate(docs, eval_docs, n=args.ngram)
-            n = docs.count()
-            print(f"curate: decontamination kept {n} documents")
+            docs = _observe(
+                decontaminate(docs, eval_docs, n=args.ngram), "decontamination"
+            )
         if args.quality_gate:
             from ocr_project_spark.textops import quality_gate
 
-            docs = docs.join(
-                quality_gate(docs).select("doc_id"), "doc_id", "left_semi"
+            docs = _observe(
+                docs.join(
+                    quality_gate(docs).select("doc_id"), "doc_id", "left_semi"
+                ),
+                "quality gate",
             )
-            n = docs.count()
-            print(f"curate: quality gate kept {n} documents")
         if args.lm_gate:
             from ocr_project_spark.textops import gram_lm_scores
 
-            docs = docs.join(
-                gram_lm_scores(docs, n=args.lm_ngram)
-                .where("passes_lm")
-                .select("doc_id"),
-                "doc_id",
-                "left_semi",
+            docs = _observe(
+                docs.join(
+                    gram_lm_scores(docs, n=args.lm_ngram)
+                    .where("passes_lm")
+                    .select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                ),
+                "LM gate",
             )
-            n = docs.count()
-            print(f"curate: LM gate kept {n} documents")
 
         docs.write.mode("overwrite").parquet(args.out)
+        for label, obs in observations:
+            print(f"curate: {label} kept {obs.get['n']} documents")
         n_out = spark.read.parquet(args.out).count()
         print(f"curate: wrote {n_out} of {n0} documents -> {args.out}")
     finally:

@@ -76,6 +76,10 @@ def main(argv=None, spark=None) -> None:
             )
 
             if args.max_bucket is not None:
+                # the inventory count recomputes the hash->band pass —
+                # deliberate: the module's no-persist stance (caching
+                # per-doc arrays at scale costs more than one extra
+                # codegen'd pass) applies to observability too
                 n_dropped = minhash_oversized_buckets(
                     docs,
                     args.max_bucket,

@@ -55,7 +55,15 @@ def this_run_results(
 
 def _next_run_id(lineage_prior: DataFrame | None) -> int:
     """Deterministic monotone run counter derived from the (tiny) lineage
-    table — never wall-clock or random (resume determinism)."""
+    table — never wall-clock or random (resume determinism).
+
+    The counter deliberately reads lineage, not the results table (that
+    would re-scan accumulated output): if a run crashes AFTER its results
+    append but BEFORE its lineage append, the rerun reuses the same
+    run_id and its lineage pass aggregates the crashed run's rows along
+    with its own — which is convergent, not double-counted, because the
+    crashed run never wrote lineage for those rows and the resume
+    anti-join prevents re-extracting them."""
     if lineage_prior is None or "run_id" not in lineage_prior.columns:
         return 0
     prev = lineage_prior.agg(F.max("run_id")).collect()[0][0]
@@ -116,7 +124,13 @@ def run_job(
             F.crc32(F.col("url")) % probe_mod == 0
         )
         # the probe set is bounded (~todo/probe_mod of the tripped backend
-        # only), so persisting it for the dual success/failure use is cheap
+        # only), so persisting it for the dual success/failure use is cheap.
+        # Probe FAILURES are deliberately infra evidence, never checkpointed
+        # results: under an open breaker a failure cannot be attributed to
+        # the document (the reference's down-backend errors mask document
+        # status), so the url stays retryable until the breaker closes —
+        # the trade-off is that a genuinely-malformed probe doc re-probes
+        # each breaker-open run (bounded by probe_mod) until recovery.
         probe_results = run_extraction(
             todo.where(is_probe), num_partitions=num_partitions
         ).persist()
