@@ -159,12 +159,18 @@ def select_pages_range(selected: Sequence[int] | None, total: int) -> list[int]:
     pypdfium2 call would fail → error path).
     """
     if not selected:
+        # the reference treats an EMPTY list like None ('if selected_pages
+        # and len(...) > 0' — mineru_backend.py:286): all pages
         return list(range(1, total + 1))
     start = min(selected)
     end = max(selected)
-    if start > total:
+    kept = list(range(max(start, 1), min(end, total) + 1))
+    if not kept:
+        # entirely out of range on EITHER side (start > total, or every
+        # page ≤ 0): the reference's pypdfium2 slice fails → error path,
+        # never an empty-but-successful document
         raise ValueError(ERR_NO_VALID_PAGES)
-    return list(range(max(start, 1), min(end, total) + 1))
+    return kept
 
 
 def ngram_window_banned(
@@ -274,15 +280,20 @@ def render_boxes_svg(
     for i, (ref_text, *box) in enumerate(spans):
         x1, y1, x2, y2 = denormalize_box(box, width, height)
         color = palette[i % len(palette)]
+        # truncate BEFORE escaping: slicing the escaped form could split an
+        # entity ('&amp;' → '&am') and emit malformed SVG
         label = (
-            ref_text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            ref_text[:40]
+            .replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
         )
         parts.append(
             f'<rect x="{x1}" y="{y1}" width="{x2 - x1}" height="{y2 - y1}" '
             f'fill="{color}" fill-opacity="0.15" stroke="{color}" '
             f'stroke-width="2"/>'
             f'<text x="{x1}" y="{max(y1 - 4, 10)}" font-size="12" '
-            f'fill="{color}">{label[:40]}</text>'
+            f'fill="{color}">{label}</text>'
         )
     parts.append("</svg>")
     return "".join(parts)

@@ -52,7 +52,6 @@ class _ContentParser(HTMLParser):
         self.page_stack: list[int] = []
         self.block: _Block | None = None
         self.blocks: list[_Block] = []
-        self.saw_page_container = False
 
     def _finish_block(self):
         blk = self.block
@@ -68,11 +67,14 @@ class _ContentParser(HTMLParser):
         if tag == "a":
             self.anchor_depth += 1
         if tag == "div":
+            # EVERY div pushes (a no-op restore for plain divs): the end-tag
+            # handler pops per </div>, so pushing only for page containers
+            # would let a nested plain div's close prematurely restore the
+            # OUTER page and mis-attribute the rest of the container
+            self.page_stack.append(self.current_page)
             attr_map = dict(attrs)
             page = attr_map.get("data-page")
             if page is not None and page.isdigit():
-                self.saw_page_container = True
-                self.page_stack.append(self.current_page)
                 self.current_page = int(page)
         if tag in BLOCK_TAGS and self.boiler_depth == 0:
             # browsers close an open paragraph when a new block begins —

@@ -155,8 +155,13 @@ def process_html_arm(
         kept_set = set(kept)
         page_raws: list[tuple[int, str]] = []
         texts: list[str] = []
-        for page_no, blocks in pages:
-            if page_no not in kept_set:
+        # selection and reporting are POSITIONAL (document order), exactly
+        # like the reference's PDF page indices — a real crawl page's
+        # data-page label is arbitrary (non-contiguous, non-1-based) and
+        # must not silently empty the kept set
+        for pos, (page_no, blocks) in enumerate(pages, start=1):
+            del page_no  # label: display/ordering handled upstream
+            if pos not in kept_set:
                 continue
             if mode == MODE_FREE:
                 markers = "\n".join(blocks)
@@ -167,7 +172,7 @@ def process_html_arm(
                 markers = "\n".join(
                     make_span_marker(t, synthetic_box(i)) for i, t in matches
                 )
-                page_raws.append((page_no, markers))
+                page_raws.append((pos, markers))
                 texts.extend(t for _, t in matches)
                 continue
             else:
@@ -175,7 +180,7 @@ def process_html_arm(
                     make_span_marker(t, synthetic_box(i))
                     for i, t in enumerate(blocks)
                 )
-            page_raws.append((page_no, markers))
+            page_raws.append((pos, markers))
             texts.extend(blocks)
         if file_type == FILE_TYPE_IMAGE:
             raw_output = page_raws[0][1] if page_raws else ""
@@ -189,6 +194,9 @@ def process_html_arm(
                     "pages": [
                         {"page": p, "raw_output": raw} for p, raw in page_raws
                     ],
+                    # len(processed), NOT the document page count: the
+                    # reference emits exactly this (deepseek_ocr_backend.py
+                    # :374 'total_pages': len(pages_to_process))
                     "total_pages": len(processed),
                     "processed_pages": processed,
                 }
@@ -233,15 +241,22 @@ def process_layout_arm(
         file_type = FILE_TYPE_PDF if total > 1 else FILE_TYPE_IMAGE
         kept = select_pages_range(selected_pages, total)
         kept_set = set(kept)
-        texts = [t for page_no, blocks in pages if page_no in kept_set for t in blocks]
+        # positional selection, like the html arm: PAGEDOC page labels are
+        # trusted fixtures today, but the contract is document order
+        texts = [
+            t
+            for pos, (page_no, blocks) in enumerate(pages, start=1)
+            if pos in kept_set
+            for t in blocks
+        ]
         markdown = "\n\n".join(texts)
         raw_output = json.dumps(
             {
                 "middle_json": {
                     "pdf_info": [
-                        {"page": p, "n_blocks": len(b)}
-                        for p, b in pages
-                        if p in kept_set
+                        {"page": pos, "n_blocks": len(b)}
+                        for pos, (p, b) in enumerate(pages, start=1)
+                        if pos in kept_set
                     ]
                 },
                 "metadata": {

@@ -618,6 +618,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")  # not struct.error:
+        # callers' corrupt-row handling catches ValueError only
     audio_format, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAV encoding (fmt={audio_format}, bits={bits})")
@@ -840,6 +843,10 @@ def sample_frames(
                             }
                         )
                     continue
+                if pd.isna(duration):
+                    # MEDIA_SCHEMA's duration_ms is nullable (Arrow hands a
+                    # NULL to pandas as NaN) — int(NaN) would kill the batch
+                    duration = 0
                 n_frames = max(int(duration) // every_ms, 1)
                 for i in range(n_frames):
                     # ASCII frame suffix: a pure byte-level function that a

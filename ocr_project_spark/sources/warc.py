@@ -61,24 +61,39 @@ def gunzip_members_with_stats(data: bytes) -> tuple[bytes, int]:
     """
     out = []
     n_bad = 0
-    while data.startswith(GZIP_MAGIC):
+    mv = memoryview(data)  # zero-copy chunk feeds: `data = d.unused_data`
+    # per member would copy the whole remainder — quadratic over a 40k-
+    # member Common Crawl segment
+    pos, n = 0, len(data)
+    feed = 1 << 20
+    while pos < n and data.startswith(GZIP_MAGIC, pos):
         d = zlib.decompressobj(wbits=31)  # gzip container
-        try:
-            chunk = d.decompress(data)
-        except zlib.error:
+        member_start = pos
+        produced = 0
+        bad = False
+        while pos < n and not d.eof:
+            try:
+                chunk = d.decompress(mv[pos : pos + feed])
+            except zlib.error:
+                bad = True
+                break
+            produced += len(chunk)
+            out.append(chunk)
+            pos = min(pos + feed, n)
+        if bad:
             # corrupt member: resync to the next gzip magic past this header
             n_bad += 1
-            nxt = data.find(GZIP_MAGIC, len(GZIP_MAGIC))
+            nxt = data.find(GZIP_MAGIC, member_start + len(GZIP_MAGIC))
             if nxt < 0:
                 break
-            data = data[nxt:]
+            pos = nxt
             continue
-        out.append(chunk)
         if not d.eof:  # truncated final member: keep what decompressed
-            if not chunk:
+            if not produced:
                 n_bad += 1
             break
-        data = d.unused_data
+        # return the tail of the LAST fed chunk (≤ feed bytes, bounded copy)
+        pos -= len(d.unused_data)
     return b"".join(out), n_bad
 
 
@@ -117,7 +132,9 @@ def parse_warc_records_with_stats(
     pos = 0
     n = len(data)
     while pos < n:
-        if not data[pos:].startswith(b"WARC/"):
+        # offset-form startswith: a `data[pos:]` slice would copy the whole
+        # remaining segment every iteration (quadratic on a 1 GB segment)
+        if not data.startswith(b"WARC/", pos):
             break
         header_end = data.find(RECORD_SEP, pos)
         if header_end < 0:
@@ -126,8 +143,11 @@ def parse_warc_records_with_stats(
         try:
             content_length = int(headers.get(b"content-length", b""))
         except ValueError:
-            # malformed framing: resync to the next record boundary instead
-            # of silently dropping everything after this record
+            content_length = -1  # missing/non-numeric → malformed path
+        if content_length < 0:
+            # malformed framing (including a NEGATIVE declared length,
+            # which int() happily parses): resync to the next record
+            # boundary instead of silently dropping everything after it
             n_skipped += 1
             nxt = data.find(CRLF + b"WARC/", header_end)
             if nxt < 0:
@@ -135,6 +155,12 @@ def parse_warc_records_with_stats(
             pos = nxt + len(CRLF)
             continue
         body_start = header_end + len(RECORD_SEP)
+        if body_start + content_length > n:
+            # truncated tail: the declared payload extends past the
+            # segment — COUNT the loss and stop, never emit partial bytes
+            # as a well-formed document
+            n_skipped += 1
+            break
         body = data[body_start : body_start + content_length]
         pos = body_start + content_length
         # records are separated by two CRLFs

@@ -144,3 +144,38 @@ def test_layout_roundtrip_multi_page():
     assert [p for p, _ in pages] == [1, 2, 3]
     recovered = " ".join(t for _, blocks in pages for t in blocks)
     assert recovered == text
+
+
+def test_nested_plain_div_keeps_page_attribution():
+    """A plain nested <div> inside a page container must not restore the
+    outer page when it closes (real crawl HTML nests divs freely)."""
+    from ocr_project_spark.kernels.html_extract import extract_html_pages
+
+    html = (
+        '<html><body>'
+        '<div class="page" data-page="1"><p>first page text</p></div>'
+        '<div class="page" data-page="2">'
+        '<div class="inner"><p>inner block</p></div>'
+        '<p>still page two</p>'
+        '</div>'
+        '</body></html>'
+    ).encode()
+    pages = dict(extract_html_pages(html))
+    assert pages[1] == ["first page text"]
+    assert pages[2] == ["inner block", "still page two"]
+
+
+def test_page_selection_is_positional_not_label_based():
+    """The reference selects PDF pages by position; arbitrary data-page
+    labels (real crawl HTML) must not empty the kept set."""
+    from ocr_project_spark.kernels.registry import process_html_arm
+
+    html = (
+        '<html><body>'
+        '<div class="page" data-page="5"><p>only content here</p></div>'
+        '</body></html>'
+    ).encode()
+    res = process_html_arm(html)
+    assert res.success and "only content here" in res.text
+    res1 = process_html_arm(html, selected_pages=[1])
+    assert res1.success and "only content here" in res1.text

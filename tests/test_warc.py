@@ -278,3 +278,44 @@ def test_wat_sink_spark_roundtrip(spark):
             )
         else:
             assert links == []
+
+
+def test_negative_content_length_resyncs_and_counts():
+    """int() parses b'-5' happily — a negative declared length must take
+    the malformed-framing resync path, not walk pos backwards."""
+    from ocr_project_spark.sources.warc import (
+        parse_warc_records_with_stats,
+        synthesize_warc_segment,
+    )
+    from datetime import datetime, timezone
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    good = synthesize_warc_segment(
+        [("https://ok.org/a", ts, b"<p>fine</p>")], include_request_records=False
+    )
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.org/x\r\n"
+        b"Content-Length: -5\r\n\r\n"
+    )
+    records, skipped = parse_warc_records_with_stats(bad + good)
+    assert skipped == 1
+    assert [u for u, _, _ in records] == ["https://ok.org/a"]
+
+
+def test_truncated_final_record_counts_not_emits():
+    """A record whose declared payload extends past the segment is counted
+    in n_skipped and NOT emitted as a silently-truncated document."""
+    from ocr_project_spark.sources.warc import (
+        parse_warc_records_with_stats,
+        synthesize_warc_segment,
+    )
+    from datetime import datetime, timezone
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    seg = synthesize_warc_segment(
+        [("https://ok.org/a", ts, b"<p>fine</p>")], include_request_records=False
+    )
+    truncated = seg[: len(seg) - 8]  # cut into the payload bytes
+    records, skipped = parse_warc_records_with_stats(truncated)
+    assert records == [] and skipped == 1
