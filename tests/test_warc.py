@@ -319,3 +319,28 @@ def test_truncated_final_record_counts_not_emits():
     truncated = seg[: len(seg) - 8]  # cut into the payload bytes
     records, skipped = parse_warc_records_with_stats(truncated)
     assert records == [] and skipped == 1
+
+
+def test_gzip_member_walk_is_linear_not_quadratic():
+    """5000 per-record gzip members must parse in well under a second —
+    the old walk copied the remaining segment per member (O(n^2))."""
+    import gzip as _gzip
+    import io
+    import time
+
+    from ocr_project_spark.sources.warc import gunzip_members_with_stats
+
+    member_payload = b"x" * 200
+    buf = io.BytesIO()
+    one = io.BytesIO()
+    with _gzip.GzipFile(fileobj=one, mode="wb", mtime=0) as g:
+        g.write(member_payload)
+    member = one.getvalue()
+    for _ in range(5000):
+        buf.write(member)
+    data = buf.getvalue()
+    t0 = time.monotonic()
+    out, n_bad = gunzip_members_with_stats(data)
+    dt = time.monotonic() - t0
+    assert n_bad == 0 and len(out) == 5000 * len(member_payload)
+    assert dt < 2.0, f"member walk took {dt:.2f}s — quadratic copies are back"
