@@ -33,8 +33,18 @@ from pyspark.sql import DataFrame, functions as F
 
 # absolute http(s) hrefs only: relative links stay on-host and the crawl
 # frontier / host graph both key on absolute targets. Case-insensitive —
-# real HTML carries <A HREF= and HTTPS:// spellings.
-_HREF_PATTERN = r'(?i)<a href="(https?://[^"]+)"'
+# real HTML carries <A HREF= and HTTPS:// spellings — and attribute-order-
+# agnostic: real crawl anchors spell <a class=x href=…>, single-quoted,
+# and unquoted hrefs, so href may sit after other attributes ([^>]*?) but
+# must be whitespace-delimited ((?:…\s)? — `data-href=` is NOT an href).
+# The URL value stops at the matching quote or, unquoted, at
+# whitespace/`>`. Known coverage limits (documented, not harvested):
+# hrefs on tags other than <a>, URLs containing a literal quote of the
+# wrapping kind, and markup hidden in comments/scripts (a regex harvest
+# has no parser state — the standard trade for a scan-fused projection).
+_HREF_PATTERN = (
+    r"(?i)<a\s(?:[^>]*?\s)?href\s*=\s*[\"']?(https?://[^\"'\s>]+)"
+)
 
 
 def extract_outlinks(
@@ -53,8 +63,8 @@ def extract_outlinks(
     href (spaces etc. — common in real HTML) yields a NULL host on ITS
     row instead of killing the job. :func:`host_graph` drops null-host
     rows; callers that want the loss observable can count them first."""
-    hrefs = F.expr(
-        f"regexp_extract_all(CAST({html_col} AS STRING), '{_HREF_PATTERN}', 1)"
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(_HREF_PATTERN), F.lit(1)
     )
     return (
         pages.select(

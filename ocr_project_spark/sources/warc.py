@@ -69,6 +69,7 @@ def gunzip_members_with_stats(data: bytes) -> tuple[bytes, int]:
     while pos < n and data.startswith(GZIP_MAGIC, pos):
         d = zlib.decompressobj(wbits=31)  # gzip container
         member_start = pos
+        out_mark = len(out)  # chunks appended so far belong to GOOD members
         produced = 0
         bad = False
         while pos < n and not d.eof:
@@ -81,7 +82,12 @@ def gunzip_members_with_stats(data: bytes) -> tuple[bytes, int]:
             out.append(chunk)
             pos = min(pos + feed, n)
         if bad:
-            # corrupt member: resync to the next gzip magic past this header
+            # corrupt member: DROP its partial plaintext (a member larger
+            # than one feed chunk may already have appended output — leaking
+            # it would hand a truncated record whose Content-Length swallows
+            # the next good member's bytes), then resync to the next gzip
+            # magic past this header
+            del out[out_mark:]
             n_bad += 1
             nxt = data.find(GZIP_MAGIC, member_start + len(GZIP_MAGIC))
             if nxt < 0:

@@ -273,9 +273,22 @@ def shard_by_token_budget(
     width = max((hi - lo + 1), 1)
     # bucket by DIVISION, not (id-lo)*n_parts/width: the multiply overflows
     # long for wide id spans (any 64-bit-hash id scheme) and aborts under
-    # ANSI; ceil-width division gives the same n_parts equal ranges
+    # ANSI; ceil-width division gives ≤ n_parts equal ranges. All three
+    # hazards of long/double arithmetic are sidestepped at once by exact
+    # DECIMAL(38,0) integral division: (a) `doc_id - lo` overflows long
+    # when ids span the full 64-bit range, (b) `/` is double division and
+    # loses exactness above 2^53 — precisely the 64-bit-hash-id regime —
+    # so a boundary id could round UP into bucket == n_parts, (c) `div`
+    # keeps the result integral. least() clamps the last ceil-division
+    # remainder range onto the final bucket.
     per_bucket = max(-(-width // n_parts), 1)
-    bucket = F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(per_bucket))
+    bucket = F.least(
+        F.expr(
+            f"(cast(doc_id as decimal(38,0)) - cast('{lo}' as decimal(38,0)))"
+            f" div cast('{per_bucket}' as decimal(38,0))"
+        ),
+        F.lit(n_parts - 1).cast("long"),
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens")
     ).withColumn("__part", bucket.cast("int"))

@@ -68,6 +68,35 @@ def test_outlink_hosts_lowercased_and_relative_links_ignored(spark):
     assert all(r["src_host"] == "src.org" for r in out)
 
 
+def test_outlink_harvest_covers_real_crawl_anchor_spellings(spark):
+    """Real crawl anchors put href after other attributes, single-quote or
+    skip the quotes entirely, and mix case — all must harvest; `data-href`
+    must NOT (href needs its own whitespace boundary), and an unquoted URL
+    stops at whitespace/`>`."""
+    html = (
+        '<a class="btn" rel=nofollow href="https://attrs.org/a">x</a>'
+        "<a href='https://single.org/b'>y</a>"
+        "<a href=https://unquoted.org/c>z</a>"
+        "<a href = https://spaced.org/d id=k>w</a>"
+        '<A HREF="HTTP://UPPER.ORG/E">v</A>'
+        '<a data-href="https://fake.org/not-a-link">u</a>'
+        "<p>no anchor https://bare.org/text url</p>"
+    ).encode()
+    out = extract_outlinks(
+        spark.createDataFrame([("https://src.org/a", html)], "url string, html binary")
+    ).collect()
+    assert {r["dst_url"] for r in out} == {
+        "https://attrs.org/a",
+        "https://single.org/b",
+        "https://unquoted.org/c",
+        "https://spaced.org/d",
+        "HTTP://UPPER.ORG/E",
+    }
+    assert {r["dst_host"] for r in out} == {
+        "attrs.org", "single.org", "unquoted.org", "spaced.org", "upper.org"
+    }
+
+
 def test_host_degrees_full_outer_zeros(spark):
     g = spark.createDataFrame(
         [("a", "b", 3), ("a", "c", 1), ("b", "c", 2)],
@@ -145,7 +174,8 @@ def test_malformed_href_and_invalid_utf8_do_not_kill_the_job(spark):
     by host_graph), never fail the job."""
     html = bytearray(
         b'\xff\xfe<a href="https://ok.org/a">x</a>'
-        b'<a href="https://bad.org/foo bar">y</a>'
+        b'<a href="https://spacey.org/foo bar">y</a>'
+        b'<a href="https://bad.org:not-a-port/x">z</a>'
     )
     pages = spark.createDataFrame(
         [("https://src.org/p", html)], "url string, html binary"
@@ -153,11 +183,16 @@ def test_malformed_href_and_invalid_utf8_do_not_kill_the_job(spark):
     out = extract_outlinks(pages).collect()
     assert {(r["dst_url"], r["dst_host"]) for r in out} == {
         ("https://ok.org/a", "ok.org"),
-        ("https://bad.org/foo bar", None),  # invalid url → NULL host, row kept
+        # RFC-invalid raw space: harvest truncates at whitespace, keeping
+        # the valid prefix (host survives)
+        ("https://spacey.org/foo", "spacey.org"),
+        # unparseable authority → NULL host, row kept, job alive
+        ("https://bad.org:not-a-port/x", None),
     }
     g = host_graph(extract_outlinks(pages))
     assert {(r["src_host"], r["dst_host"]) for r in g.collect()} == {
-        ("src.org", "ok.org")
+        ("src.org", "ok.org"),
+        ("src.org", "spacey.org"),
     }
 
 

@@ -676,6 +676,37 @@ def test_shard_bucketing_survives_wide_id_span(spark):
     assert len(out) == 2
 
 
+def test_shard_bucketing_exact_at_full_long_span(spark):
+    """Ids spanning the ENTIRE long range (the 64-bit-hash-id regime):
+    double division loses exactness above 2^53 and `doc_id - lo` overflows
+    long — the decimal-div bucketing must stay exact, never place a row in
+    bucket == n_parts, and the shard output must still equal the naive
+    global prefix sum ordered by id."""
+    from ocr_project_spark.textops import shard_by_token_budget
+
+    lo, hi = -(2**63), 2**63 - 1
+    ids = sorted(
+        {lo, lo + 1, -(2**53) - 1, -1, 0, 1, 2**53 + 1, hi - 1, hi}
+        | {lo + (hi - lo) // 7 * k for k in range(1, 7)}  # bucket edges
+    )
+    budget = 7
+    docs = spark.createDataFrame(
+        [(i, "w " * ((k % 5) + 1)) for k, i in enumerate(ids)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in shard_by_token_budget(docs, budget=budget).collect()
+    }
+    assert set(got) == set(ids)
+    cum = 0
+    for k, i in enumerate(ids):
+        # "w " * n splits on ' ' into n+1 tokens (trailing empty string)
+        n_tok = (k % 5) + 2
+        assert got[i] == (n_tok, cum // budget), f"id {i}"
+        cum += n_tok
+
+
 def test_importance_weights_empty_target_weight_is_zero(spark):
     """The weight COLUMN itself (not just `selected`) must be readable on
     an empty target corpus — 0/0 would abort under ANSI."""

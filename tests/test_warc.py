@@ -177,6 +177,50 @@ def test_corrupt_gzip_member_resyncs_and_counts():
     assert n_skipped >= 1
 
 
+def test_corrupt_large_member_leaks_no_partial_plaintext():
+    """A corrupt gzip member whose COMPRESSED size exceeds the 1 MiB feed
+    chunk decompresses several chunks before the failure — those partial
+    bytes must be dropped, not returned: a leaked truncated WARC record's
+    Content-Length would swallow the next good member's records."""
+    import gzip
+    import random
+
+    from ocr_project_spark.sources.warc import (
+        gunzip_members_with_stats,
+        parse_warc_records_with_stats,
+    )
+    from datetime import datetime, timezone
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    # incompressible payload → compressed member ≈ payload size (> 2 feeds)
+    rng = random.Random(7)
+    big_payload = bytes(rng.randrange(256) for _ in range(3 * (1 << 20)))
+    big_record = synthesize_warc_segment(
+        [("https://big.example.org/a", ts, big_payload)],
+        include_request_records=False,
+    )
+    big_member = bytearray(gzip.compress(big_record, mtime=0))
+    assert len(big_member) > 2 * (1 << 20), "member must span multiple feeds"
+    # corrupt near the END so the first feed chunks decompress fine
+    for i in range(len(big_member) - 64, len(big_member) - 16):
+        big_member[i] ^= 0xFF
+    good = synthesize_warc_segment(
+        [("https://ok.example.org/b", ts, b"<p>fine</p>")],
+        include_request_records=False,
+    )
+    good_member = gzip.compress(good, mtime=0)
+    seg = bytes(big_member) + good_member
+
+    out, n_bad = gunzip_members_with_stats(seg)
+    assert n_bad >= 1
+    assert big_record[:100] not in out, "partial plaintext of the corrupt member leaked"
+    assert good in out, "the good member after the corrupt one must survive"
+
+    records, n_skipped = parse_warc_records_with_stats(seg)
+    assert [u for u, _, _ in records] == ["https://ok.example.org/b"]
+    assert n_skipped >= 1
+
+
 def test_wet_segment_roundtrip():
     from ocr_project_spark.sources.warc import (
         build_wet_segment,
