@@ -114,8 +114,14 @@ def _kernel_chunk(payloads: list[bytes]) -> int:
     return len(payloads)
 
 
+# clean-window bare-kernel references on this box (BENCH.md recalibration):
+# a materially lower same-window reading means the invocation sampled a
+# depressed VM window at THAT core count
+BARE_KERNEL_CLEAN_REF = {8: 22_000, 32: 61_000}
+
+
 def _bare_kernel_calibration(
-    pages_path: str, procs: int = 8, n_docs: int = 20_000
+    pages_path: str, procs_list: tuple[int, ...] = (8, 32), n_docs: int = 20_000
 ) -> dict:
     """Same-window hardware baseline, measured UNCONDITIONALLY in every
     invocation: the per-doc extraction kernel (pure Python, no Spark, no
@@ -123,42 +129,100 @@ def _bare_kernel_calibration(
     ``multiprocessing``. The sandbox VM has depression windows lasting
     minutes to tens of minutes in which ALL sustained compute runs
     severalfold slow; this number tells the reader which kind of window
-    this invocation sampled. Clean-window reference on this box:
-    ~22 000 docs/s at 8 procs (BENCH.md recalibration) — a materially
-    lower reading here means every Spark number in this JSON is depressed
-    by the same environment, not by the plan."""
+    this invocation sampled — at BOTH the unsaturated (8-proc) and the
+    saturated (32-proc) core counts, because a depression can hit the
+    high-core regime alone (round 4's 32-core legs halved while the 8-proc
+    bracket stayed healthy — an 8-proc-only bracket is blind there).
+    Clean-window references per ``BARE_KERNEL_CLEAN_REF``; a materially
+    lower reading at some core count means the Spark legs at that core
+    count are environment-limited, not plan-limited."""
     import glob
     from multiprocessing import Pool
 
     import pyarrow.parquet as pq
 
     payloads: list[bytes] = []
+    max_docs = max(n_docs, 1)
     for part in sorted(glob.glob(os.path.join(pages_path, "*.parquet"))):
         pf = pq.ParquetFile(part)
         for batch in pf.iter_batches(columns=["html"], batch_size=2048):
             payloads.extend(batch.column(0).to_pylist())
-            if len(payloads) >= n_docs:
+            if len(payloads) >= max_docs:
                 break
-        if len(payloads) >= n_docs:
+        if len(payloads) >= max_docs:
             break
-    payloads = payloads[:n_docs]
-    chunks = [payloads[i::procs] for i in range(procs)]
-    with Pool(procs) as pool:
-        pool.map(_kernel_chunk, [c[:8] for c in chunks])  # warm the pool
-        t0 = time.monotonic()
-        done = sum(pool.map(_kernel_chunk, chunks))
-        dt = time.monotonic() - t0
+    payloads = payloads[:max_docs]
+    rates: dict[str, float] = {}
+    for procs in procs_list:
+        chunks = [payloads[i::procs] for i in range(procs)]
+        with Pool(procs) as pool:
+            pool.map(_kernel_chunk, [c[:8] for c in chunks])  # warm the pool
+            t0 = time.monotonic()
+            done = sum(pool.map(_kernel_chunk, chunks))
+            dt = time.monotonic() - t0
+        rates[str(procs)] = round(done / dt, 1)
     return {
-        "procs": procs,
-        "n_docs": done,
-        "docs_per_sec": round(done / dt, 1),
-        "note": "unconditional same-window hardware baseline: the bare "
-        "extraction kernel (no Spark/JVM) under plain multiprocessing; "
-        "clean-window reference ~22000 docs/s at 8 procs — a materially "
-        "lower reading means this invocation sampled a depressed VM "
-        "window and every number in this JSON is environment-limited, "
-        "not plan-limited",
+        "docs_per_sec": rates,
+        "n_docs": len(payloads),
+        "clean_ref": {str(k): v for k, v in BARE_KERNEL_CLEAN_REF.items()},
     }
+
+
+def compact_bench_line(
+    *,
+    total: float,
+    timings: dict[str, float],
+    sf: float,
+    cpus: int,
+    replicate: int,
+    n_base_docs: int,
+    extras: dict,
+    scaling: dict | None,
+    limit: int = 1500,
+) -> str:
+    """The FINAL stdout line: every load-bearing number, no prose. The
+    driver records only a ~2000-char stdout tail and parses the last line
+    as JSON — round 4's annotated line outgrew that window and shipped as
+    ``parsed: null``, so compactness here is a correctness property of the
+    bench protocol, enforced by the ``limit`` assert (prose lives in the
+    verbose line printed just before, and in BENCH.md)."""
+    out = {
+        "metric": "headline suite wall time (extract = byte-identical extraction)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "replicate": replicate,
+        "n_base_docs": n_base_docs,
+        "n_docs": extras.get("n_docs"),
+        "docs_per_sec": extras.get("docs_per_sec"),
+        "identical_frac": extras.get("identical_frac"),
+        "docs_per_sec_jvm_samples": extras.get("docs_per_sec_jvm_samples"),
+        "bare_kernel": {
+            "start": extras["bare_kernel_calibration"]["docs_per_sec"],
+            "end": extras["bare_kernel_calibration_end"]["docs_per_sec"],
+            "clean_ref": extras["bare_kernel_calibration"]["clean_ref"],
+        },
+        "notes": "prose + per-pair annotations: previous stdout line & BENCH.md",
+    }
+    if scaling:
+        out["scaling"] = {
+            "pairs": [
+                {k: p[k] for k in
+                 ("cpus_a", "cpus_b", "docs_per_sec_a", "docs_per_sec_b",
+                  "efficiency")}
+                for p in scaling["pairs"]
+            ],
+            "efficiency": scaling["efficiency"],
+        }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > limit:  # degrade gracefully, never ship an unparseable line
+        out["queries"] = {"total": total}
+        out["notes"] = "queries elided for line-length; see previous line"
+        line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= limit, f"compact bench line {len(line)} > {limit}"
+    return line
 
 
 def main() -> None:
@@ -541,7 +605,9 @@ def main() -> None:
             (cpus // 4, cpus): "saturates the single socket's memory "
             "bandwidth (bare multiprocessing of the extraction kernel "
             "degrades identically at these core counts) — a hardware "
-            "ceiling of this one box, not a property of the plan",
+            "ceiling of this one box, not a property of the plan; the "
+            "32-proc bare_kernel bracket (clean ~61000 docs/s) is the "
+            "same-window certificate for THESE legs specifically",
         }
         pairs = []
         for a, b in ((cpus // 16, cpus // 4), (cpus // 4, cpus)):
@@ -573,7 +639,7 @@ def main() -> None:
     shutil.rmtree(pages_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    verbose = {
         "metric": "headline suite wall time (extract = byte-identical "
         "extraction of %d docs)" % n_ext_docs,
         "value": total,
@@ -583,11 +649,27 @@ def main() -> None:
         "cpus": cpus,
         "replicate": replicate,
         "n_base_docs": n_base_docs,
+        "note": "verbose record (full annotations); the LAST stdout line "
+        "is the compact machine-readable summary of the same numbers",
         **extras,
     }
     if scaling:
-        out["scaling"] = scaling
-    print(json.dumps(out))
+        verbose["scaling"] = scaling
+    # verbose first (prose + annotations), compact LAST — the driver
+    # parses only the final stdout line and records a bounded tail
+    print(json.dumps(verbose))
+    print(
+        compact_bench_line(
+            total=total,
+            timings=timings,
+            sf=sf,
+            cpus=cpus,
+            replicate=replicate,
+            n_base_docs=n_base_docs,
+            extras=extras,
+            scaling=scaling,
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -309,3 +309,76 @@ def test_curate_cli_lm_gate(spark, tmp_path):
     curate_main(["--documents", src, "--out", out, "--lm-gate"], spark=spark)
     got_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got_ids == {r["doc_id"] for r in base.collect()}
+
+
+def test_compact_bench_line_is_parseable_and_bounded():
+    """The driver records only a ~2000-char stdout tail and parses the
+    LAST line — round 4's annotated line outgrew it (parsed: null). The
+    compact builder must stay ≤1500 chars and carry every load-bearing
+    field even under worst-case retry sampling (6 JVM samples on a leg)."""
+    import json
+
+    from bench import compact_bench_line
+
+    timings = {
+        k: 12.345
+        for k in (
+            "lineage_health dedup_exact dedup_minhash dedup_simhash "
+            "dedup_cluster_keep sim_brute sim_lsh text_features gopher_gate "
+            "text_repetition dedup_repeated_ngrams token_shards lang_id "
+            "dedup_lines pii_redact contamination text_normalize c4_clean "
+            "corpus_mix quality_lm semdedup link_graph nb_classify extract"
+        ).split()
+    }
+    extras = {
+        "n_docs": 240000,
+        "docs_per_sec": 50025.4,
+        "identical_frac": 0.9897,
+        "docs_per_sec_jvm_samples": {
+            "2": [8648.9, 8590.6, 8466.6, 8111.1],
+            "8": [32258.1, 31645.7, 27350.6, 21573.5, 30111.2, 29888.8],
+            "32": [50025.4, 41539.2, 47322.1, 45510.4],
+        },
+        "bare_kernel_calibration": {
+            "docs_per_sec": {"8": 22123.4, "32": 61234.5},
+            "n_docs": 20000,
+            "clean_ref": {"8": 22000, "32": 61000},
+        },
+        "bare_kernel_calibration_end": {
+            "docs_per_sec": {"8": 21987.6, "32": 60123.4},
+            "n_docs": 20000,
+            "clean_ref": {"8": 22000, "32": 61000},
+        },
+    }
+    scaling = {
+        "pairs": [
+            {"cpus_a": 2, "cpus_b": 8, "docs_per_sec_a": 8648.9,
+             "docs_per_sec_b": 32258.1, "efficiency": 0.932,
+             "note": "x" * 500},
+            {"cpus_a": 8, "cpus_b": 32, "docs_per_sec_a": 32258.1,
+             "docs_per_sec_b": 50025.4, "efficiency": 0.388,
+             "note": "y" * 500},
+        ],
+        "efficiency": 0.932,
+        "note": "z" * 200,
+    }
+    line = compact_bench_line(
+        total=123.456, timings=timings, sf=0.1, cpus=32, replicate=48,
+        n_base_docs=50000, extras=extras, scaling=scaling,
+    )
+    assert len(line) <= 1500, len(line)
+    assert "\n" not in line
+    got = json.loads(line)
+    assert got["unit"] == "sec" and got["queries"] == timings
+    assert got["docs_per_sec"] == 50025.4 and got["sf"] == 0.1
+    assert got["scaling"]["efficiency"] == 0.932
+    assert all("note" not in p for p in got["scaling"]["pairs"])
+    assert got["bare_kernel"]["start"] == {"8": 22123.4, "32": 61234.5}
+    assert got["bare_kernel"]["clean_ref"] == {"8": 22000, "32": 61000}
+
+    # no-scaling smoke mode: scaling=None must still emit a valid line
+    line2 = compact_bench_line(
+        total=9.9, timings={"extract": 9.9}, sf=0.01, cpus=8, replicate=4,
+        n_base_docs=5000, extras=extras, scaling=None,
+    )
+    assert "scaling" not in json.loads(line2)
