@@ -26,15 +26,23 @@ cancellation structurally):
   so DuckDB predicts the pixel sums with integer arithmetic while the
   engine earns them by real Huffman + dequantization + IDCT work.
 
-Entropy decoding is a sequential bit-stream walk (pure Python by nature,
-like the PNG Paeth scan); the IDCT and color transform are vectorized
-numpy over all blocks at once. Throughput is bounded by the bit walk —
-fine for the fixture scale here; a production deployment would swap in a
-codec library on the executors while keeping the same operator contract.
+Entropy decoding is a sequential bit-stream walk (sequential by nature,
+like the PNG Paeth scan), but it is TABLE-DRIVEN, not per-bit: each
+Huffman table is expanded once into a 2^16-entry (symbol, code-length)
+lookup so every symbol costs one 16-bit peek + two list indexes instead
+of up-to-16 dict probes, the bit reader refills four bytes at a time,
+and destuffing/restart splitting is regex + bytes.replace (C speed).
+The IDCT, color transform and block→plane assembly are vectorized numpy
+over all blocks at once. A ≥1 MP throughput budget is enforced in
+tests/test_multimodal.py (mirroring the PNG Paeth budget) so the walk
+cannot silently regress to per-bit cost; a production deployment would
+still swap in a codec library on the executors while keeping the same
+operator contract.
 """
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -85,7 +93,10 @@ def fdct_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 class _BitReader:
-    """MSB-first bit reader over a destuffed entropy segment."""
+    """MSB-first bit reader over a destuffed entropy segment. Refills the
+    integer bit buffer four bytes at a time; past the end of the segment
+    it pads with 1-bits (spec F.1.2.3 scan padding), exactly like the old
+    per-byte reader."""
 
     __slots__ = ("data", "pos", "buf", "nbits")
 
@@ -95,43 +106,70 @@ class _BitReader:
         self.buf = 0
         self.nbits = 0
 
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            if self.pos >= len(self.data):
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            chunk = self.data[self.pos : self.pos + 4]
+            if chunk:
+                self.buf = (self.buf << (8 * len(chunk))) | int.from_bytes(
+                    chunk, "big"
+                )
+                self.nbits += 8 * len(chunk)
+                self.pos += len(chunk)
+            else:
                 # spec: pad with 1-bits at the end of the scan
                 self.buf = (self.buf << 8) | 0xFF
-            else:
-                self.buf = (self.buf << 8) | self.data[self.pos]
-                self.pos += 1
-            self.nbits += 8
+                self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill(n)
         self.nbits -= n
         out = (self.buf >> self.nbits) & ((1 << n) - 1)
         self.buf &= (1 << self.nbits) - 1
         return out
 
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.buf >> (self.nbits - 16)) & 0xFFFF
 
-def _build_huffman(bits: list[int], values: list[int]) -> dict:
-    """Canonical JPEG Huffman table: (length, code) → symbol."""
-    table = {}
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.buf &= (1 << self.nbits) - 1
+
+
+def _build_huffman(bits: list[int], values: list[int]) -> tuple[list, list]:
+    """Canonical JPEG Huffman table expanded to a flat 2^16 lookup:
+    ``(symbols, lengths)`` lists indexed by the next 16 bits of the
+    stream — ``lengths[idx] == 0`` marks bit patterns no code covers
+    (the old per-bit walk's "invalid Huffman code" case). One symbol
+    decode is a peek16 + two list indexes + a skip."""
+    syms = np.zeros(1 << 16, dtype=np.int64)
+    lens = np.zeros(1 << 16, dtype=np.int64)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            if code >= (1 << length):
+                raise ValueError("malformed JPEG Huffman table (BITS overflow)")
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            syms[lo:hi] = values[k]
+            lens[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return syms.tolist(), lens.tolist()
 
 
-def _decode_symbol(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _decode_symbol(reader: _BitReader, table: tuple[list, list]) -> int:
+    syms, lens = table
+    idx = reader.peek16()
+    length = lens[idx]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    reader.skip(length)
+    return syms[idx]
 
 
 def _extend(v: int, s: int) -> int:
@@ -139,31 +177,35 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+_RST_RE = re.compile(b"\xff[\xd0-\xd7]")
+
+
 def _destuff(data: bytes) -> list[bytes]:
     """Entropy-coded bytes → restart-interval segments with the 0xFF00
-    stuffing removed (RSTn markers delimit segments)."""
-    segments: list[bytes] = []
-    out = bytearray()
-    i = 0
+    stuffing removed (RSTn markers delimit segments). In entropy-coded
+    data every 0xFF is followed by 0x00 (stuffing) or a marker, so the
+    scan ends at the first 0xFF whose successor is neither 0x00 nor RSTn,
+    RST boundaries are unambiguous byte pairs (regex split), and the
+    stuffing removal is one ``bytes.replace`` per segment — all C-speed;
+    the Python loop below only hops between 0xFF occurrences."""
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            out.append(b)
-            i += 1
-            continue
-        nxt = data[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            out.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:  # RSTn
-            segments.append(bytes(out))
-            out = bytearray()
-            i += 2
-        else:  # next marker (EOI or otherwise): scan ends
+    end = n
+    i = 0
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0:
             break
-    segments.append(bytes(out))
-    return segments
+        if j + 1 >= n:  # trailing lone 0xFF: scan ends before it
+            end = j
+            break
+        nxt = data[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+            continue
+        end = j  # next marker (EOI or otherwise): scan ends
+        break
+    body = data[:end]
+    return [seg.replace(b"\xff\x00", b"\xff") for seg in _RST_RE.split(body)]
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -300,70 +342,143 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    # per-component coefficient storage (n_blocks, 8, 8), MCU-interleaved
-    coef_lists: dict[int, list[np.ndarray]] = {c["id"]: [] for c in comps}
+    # per-component coefficient storage: a flat list of zigzag-indexed
+    # 64-int lists per component, MCU-interleaved (converted to one numpy
+    # array per component AFTER the sequential walk — plain-int list
+    # assignment in the hot loop beats per-element numpy scalar writes)
+    coef_lists: dict[int, list[list[int]]] = {c["id"]: [] for c in comps}
+    # resolve per-scan-component state ONCE, outside the MCU loop
+    scan_plan = []
+    for sc in scan_comps:
+        comp = by_id.get(sc["id"])
+        if comp is None:
+            raise ValueError("JPEG scan references a missing frame component")
+        dc_table = huff_dc.get(sc["td"])
+        ac_table = huff_ac.get(sc["ta"])
+        if dc_table is None or ac_table is None:
+            raise ValueError("JPEG scan references a missing DHT table")
+        scan_plan.append(
+            (comp["id"], comp["h"] * comp["v"], dc_table, ac_table,
+             coef_lists[comp["id"]])
+        )
     segments = _destuff(scan)
     seg_idx = 0
-    reader = _BitReader(segments[0])
     pred = {c["id"]: 0 for c in comps}
+    zigzag = ZIGZAG
+    # receive/extend lookup: value v of size s is negative iff its top bit
+    # is 0, in which case subtract (1<<s)-1 (spec F.2.2.1)
+    half = [1 << (s - 1) if s else 1 for s in range(17)]
+    esub = [(1 << s) - 1 for s in range(17)]
+    # the bit-stream walk is THE hot path (millions of symbols on a 1 MP
+    # image), so the reader state lives in plain locals here — one
+    # ensure-27-bits refill per symbol covers the 16-bit code peek plus
+    # the ≤11 magnitude bits, and buf is re-masked once per symbol
+    data = segments[0]
+    pos = 0
+    buf = 0
+    nbits = 0
     mcu_count = 0
-    for _my in range(mcus_y):
-        for _mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("missing JPEG restart segment")
-                reader = _BitReader(segments[seg_idx])
-                pred = {c["id"]: 0 for c in comps}
-            for sc in scan_comps:
-                comp = by_id[sc["id"]]
-                dc_table = huff_dc.get(sc["td"])
-                ac_table = huff_ac.get(sc["ta"])
-                if dc_table is None or ac_table is None:
-                    raise ValueError("JPEG scan references a missing DHT table")
-                for _ in range(comp["h"] * comp["v"]):
-                    blk = np.zeros(64, dtype=np.int64)
-                    s = _decode_symbol(reader, dc_table)
-                    diff = _extend(reader.read(s), s) if s else 0
-                    pred[comp["id"]] += diff
-                    blk[0] = pred[comp["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(reader, ac_table)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        blk[ZIGZAG[k]] = _extend(reader.read(s), s)
-                        k += 1
-                    coef_lists[comp["id"]].append(blk.reshape(8, 8))
-            mcu_count += 1
+    for _mcu in range(mcus_y * mcus_x):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            data = segments[seg_idx]
+            pos = 0
+            buf = 0
+            nbits = 0
+            pred = {c["id"]: 0 for c in comps}
+        for cid, n_blocks, dc_table, ac_table, out_list in scan_plan:
+            dc_syms, dc_lens = dc_table
+            ac_syms, ac_lens = ac_table
+            for _ in range(n_blocks):
+                blk = [0] * 64
+                # --- DC: code + magnitude in one refill window
+                if nbits < 27:
+                    chunk = data[pos : pos + 4]
+                    lc = len(chunk)
+                    buf = (buf << (8 * lc)) | int.from_bytes(chunk, "big")
+                    nbits += 8 * lc
+                    pos += lc
+                    while nbits < 27:  # spec: pad scan end with 1-bits
+                        buf = (buf << 8) | 0xFF
+                        nbits += 8
+                idx = (buf >> (nbits - 16)) & 0xFFFF
+                length = dc_lens[idx]
+                if length == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                nbits -= length
+                s = dc_syms[idx]
+                if s:
+                    nbits -= s
+                    v = (buf >> nbits) & esub[s]
+                    pred[cid] += v if v >= half[s] else v - esub[s]
+                buf &= (1 << nbits) - 1
+                blk[0] = pred[cid]
+                # --- AC coefficients
+                k = 1
+                while k < 64:
+                    if nbits < 27:
+                        chunk = data[pos : pos + 4]
+                        lc = len(chunk)
+                        buf = (buf << (8 * lc)) | int.from_bytes(chunk, "big")
+                        nbits += 8 * lc
+                        pos += lc
+                        while nbits < 27:
+                            buf = (buf << 8) | 0xFF
+                            nbits += 8
+                    idx = (buf >> (nbits - 16)) & 0xFFFF
+                    length = ac_lens[idx]
+                    if length == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    nbits -= length
+                    rs = ac_syms[idx]
+                    s = rs & 0x0F
+                    if s == 0:
+                        buf &= (1 << nbits) - 1
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    nbits -= s
+                    v = (buf >> nbits) & esub[s]
+                    buf &= (1 << nbits) - 1
+                    blk[zigzag[k]] = v if v >= half[s] else v - esub[s]
+                    k += 1
+                out_list.append(blk)
+        mcu_count += 1
 
     # dequantize + IDCT + assemble per component, all blocks at once
     planes: dict[int, np.ndarray] = {}
     for comp in comps:
-        cw = mcus_x * comp["h"]  # blocks per row
-        ch = mcus_y * comp["v"]
-        coefs = np.stack(coef_lists[comp["id"]]) * qt[comp["tq"]][None, :, :]
+        cv, chf = comp["v"], comp["h"]
+        cw = mcus_x * chf  # blocks per row
+        ch = mcus_y * cv
+        blocks = np.array(coef_lists[comp["id"]], dtype=np.int64).reshape(
+            -1, 8, 8
+        )
+        coefs = blocks * qt[comp["tq"]][None, :, :]
         spatial = idct_blocks(coefs.astype(np.float64)) + 128.0
-        plane = np.zeros((ch * 8, cw * 8), dtype=np.float64)
-        # blocks arrive MCU-interleaved: per MCU, v×h blocks row-major
-        i = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for bv in range(comp["v"]):
-                    for bh in range(comp["h"]):
-                        y0 = (my * comp["v"] + bv) * 8
-                        x0 = (mx * comp["h"] + bh) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[i]
-                        i += 1
+        # blocks arrive MCU-interleaved: per MCU, v×h blocks row-major —
+        # scatter every block to its raster position in one fancy-index
+        # write, then fold the (ch, cw, 8, 8) grid into the plane
+        seq = np.arange(len(spatial))
+        my, rem = np.divmod(seq, mcus_x * cv * chf)
+        mx, rem2 = np.divmod(rem, cv * chf)
+        bv, bh = np.divmod(rem2, chf)
+        raster = (my * cv + bv) * cw + (mx * chf + bh)
+        grid = np.empty((ch * cw, 8, 8), dtype=np.float64)
+        grid[raster] = spatial
+        plane = (
+            grid.reshape(ch, cw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ch * 8, cw * 8)
+        )
         # upsample to full resolution (sample replication) and crop
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        ry, rx = vmax // cv, hmax // chf
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes[comp["id"]] = plane[:h, :w]

