@@ -30,7 +30,7 @@ from ocr_project_spark.contract import (
     RESULT_SCHEMA,
     VALID_BACKENDS,
 )
-from ocr_project_spark.functions.markers import render_boxes_svg
+from ocr_project_spark.functions.markers import render_boxes_png, render_boxes_svg
 from ocr_project_spark.kernels.registry import (
     BACKEND_REGISTRY,
     DocResult,
@@ -53,7 +53,14 @@ def _reject(backend: str, err: str) -> DocResult:
     )
 
 
-def _result_row(url: str, doc_id: int, res: DocResult, elapsed: float = 0.0) -> dict:
+def _result_row(
+    url: str,
+    doc_id: int,
+    res: DocResult,
+    elapsed: float = 0.0,
+    raster_boxes: bool = False,
+) -> dict:
+    render = render_boxes_png if raster_boxes else render_boxes_svg
     return {
         "url": url,
         "doc_id": doc_id,
@@ -67,11 +74,13 @@ def _result_row(url: str, doc_id: int, res: DocResult, elapsed: float = 0.0) -> 
             {"ref": s[0], "x1": s[1], "y1": s[2], "x2": s[3], "y2": s[4]}
             for s in res.spans
         ],
-        # deterministic SVG analog of the reference's boxes_image — rendered
+        # deterministic analog of the reference's boxes_image — rendered
         # only on the single-page image path, exactly like the reference
         # (deepseek_ocr_backend.py:176 image path vs 234 pdf path = "";
-        # default "" at api_contract.py:215)
-        "boxes_image": render_boxes_svg(res.spans)
+        # default "" at api_contract.py:215). Default: SVG (codec-free);
+        # raster_boxes=True: base64 PNG in the reference's wire shape with
+        # a fixed palette (render_boxes_png)
+        "boxes_image": render(res.spans)
         if res.spans and res.file_type == FILE_TYPE_IMAGE
         else "",
         "page_count": res.page_count,
@@ -85,9 +94,11 @@ def _result_row(url: str, doc_id: int, res: DocResult, elapsed: float = 0.0) -> 
 _COLUMNS = [f.name for f in CORE_RESULT_SCHEMA.fields]
 
 
-def make_extract_fn(model_loaded: dict | None = None):
+def make_extract_fn(model_loaded: dict | None = None, raster_boxes: bool = False):
     """Build the mapInPandas callable; ``model_loaded`` maps backend name →
-    bool and defaults to all-loaded (the reference's steady state)."""
+    bool and defaults to all-loaded (the reference's steady state).
+    ``raster_boxes=True`` emits boxes_image as base64 PNG (the reference's
+    wire shape) instead of the default SVG analog."""
     gate = model_loaded or {}
 
     def _extract_batches(
@@ -146,7 +157,13 @@ def make_extract_fn(model_loaded: dict | None = None):
                 else:
                     res = BACKEND_REGISTRY[backend](bytes(payload), sel)
                 rows.append(
-                    _result_row(url, doc_id, res, time.perf_counter() - t0)
+                    _result_row(
+                        url,
+                        doc_id,
+                        res,
+                        time.perf_counter() - t0,
+                        raster_boxes=raster_boxes,
+                    )
                 )
             yield pd.DataFrame(rows, columns=_COLUMNS)
 
@@ -154,7 +171,9 @@ def make_extract_fn(model_loaded: dict | None = None):
 
 
 def extract_documents(
-    pages_df: DataFrame, model_loaded: dict | None = None
+    pages_df: DataFrame,
+    model_loaded: dict | None = None,
+    raster_boxes: bool = False,
 ) -> DataFrame:
     """pages(url, html, backend[, doc_id, pages]) → unified result DataFrame.
 
@@ -169,7 +188,8 @@ def extract_documents(
         if opt in pages_df.columns:
             cols.append(opt)
     core = pages_df.select(*cols).mapInPandas(
-        make_extract_fn(model_loaded), schema=CORE_RESULT_SCHEMA
+        make_extract_fn(model_loaded, raster_boxes=raster_boxes),
+        schema=CORE_RESULT_SCHEMA,
     )
     # JVM-derived parity columns (contract.JVM_DERIVED_FIELDS): file_name =
     # url basename (reference api_contract.py:92-95), source_markdown =

@@ -75,44 +75,55 @@ def circuit_breaker_gate(lineage: DataFrame) -> dict[str, bool]:
     appended by a later breaker-enabled run close the breaker without any
     manual intervention.
 
-    Driver-side by design and bounded: the input is the per-(partition,
-    backend) rollup — thousands of rows at 100 TB, never document data —
-    and the output is the ``model_loaded`` gate for the next run.
+    The replay runs IN Spark, not on the driver: the final breaker state is
+    exactly "which decisive streak completed last" — a run of
+    ``FAILURE_THRESHOLD`` consecutive failed checks opens the breaker, a run
+    of ``SUCCESS_THRESHOLD`` consecutive healthy checks closes it, and
+    between decisive events the state holds — so gaps-and-islands over the
+    ordered check sequence (windowed per backend, executor-side) yields the
+    verdict and the driver collects exactly one row per backend, regardless
+    of how many runs of lineage history have accumulated.
     """
+    from pyspark.sql.window import Window
+
     has_run = "run_id" in lineage.columns
-    cols = (["run_id"] if has_run else []) + [
+    order_cols = (["run_id"] if has_run else []) + ["part_id"]
+    checks = lineage.select(
         "backend",
-        "part_id",
-        "n_success",
-        "n_failed",
-    ]
-    rows = lineage.select(*cols).collect()
-    by_backend: dict[str, list] = {}
-    for r in rows:
-        key = (r["run_id"], r["part_id"]) if has_run else (r["part_id"],)
-        by_backend.setdefault(r["backend"], []).append(
-            key + (r["n_success"], r["n_failed"])
+        *order_cols,
+        ((F.col("n_success") == 0) & (F.col("n_failed") > 0)).alias("failed"),
+    )
+    w_all = Window.partitionBy("backend").orderBy(*order_cols)
+    w_outcome = Window.partitionBy("backend", "failed").orderBy(*order_cols)
+    # Island id: consecutive same-outcome checks share (rn - rn_within_outcome).
+    islands = checks.withColumn("rn", F.row_number().over(w_all)).withColumn(
+        "island", F.col("rn") - F.row_number().over(w_outcome)
+    )
+    streaks = islands.groupBy("backend", "failed", "island").agg(
+        F.min("rn").alias("start_rn"), F.count(F.lit(1)).alias("length")
+    )
+    threshold = F.when(F.col("failed"), F.lit(FAILURE_THRESHOLD)).otherwise(
+        F.lit(SUCCESS_THRESHOLD)
+    )
+    # A streak fires its open/close event the moment it reaches threshold;
+    # no opposite event can occur inside a streak, so the latest event_rn
+    # across both kinds decides the final state.
+    events = streaks.where(F.col("length") >= threshold).select(
+        "backend", "failed", (F.col("start_rn") + threshold - 1).alias("event_rn")
+    )
+    last = events.groupBy("backend").agg(
+        F.max(F.struct("event_rn", "failed")).alias("last_event")
+    )
+    verdicts = (
+        lineage.select("backend")
+        .distinct()
+        .join(last, "backend", "left")
+        .select(
+            "backend",
+            F.coalesce(~F.col("last_event.failed"), F.lit(True)).alias("gate"),
         )
-    gate: dict[str, bool] = {}
-    for backend, parts in by_backend.items():
-        parts.sort()
-        state_open = False
-        consec_fail = 0
-        consec_ok = 0
-        for row in parts:
-            n_success, n_failed = row[-2], row[-1]
-            if n_success == 0 and n_failed > 0:
-                consec_fail += 1
-                consec_ok = 0
-                if consec_fail >= FAILURE_THRESHOLD:
-                    state_open = True
-            else:
-                consec_ok += 1
-                consec_fail = 0
-                if consec_ok >= SUCCESS_THRESHOLD:
-                    state_open = False
-        gate[backend] = not state_open
-    return gate
+    )
+    return {r["backend"]: r["gate"] for r in verdicts.collect()}
 
 
 def backend_listing(spark, lineage: DataFrame | None = None) -> DataFrame:

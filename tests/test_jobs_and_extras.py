@@ -76,6 +76,70 @@ def test_render_boxes_svg_deterministic():
     assert 'x="32"' in svg1
 
 
+def test_render_boxes_png_golden():
+    """VERDICT r4 item 5: the raster boxes_image option — base64 PNG in the
+    reference's wire shape (deepseek_ocr_backend.py:499-614) with a fixed
+    palette, decodable by the repo's own PNG decoder, fully deterministic."""
+    import base64
+
+    import numpy as np
+
+    from ocr_project_spark.functions.markers import (
+        _RASTER_PALETTE,
+        denormalize_box,
+        render_boxes_png,
+    )
+    from ocr_project_spark.multimodal import decode_png
+
+    spans = [("Title", 40, 40, 959, 90), ("Body <b>", 40, 100, 959, 150)]
+    b64 = render_boxes_png(spans, 200, 200)
+    assert b64 == render_boxes_png(spans, 200, 200)  # deterministic
+    raw = base64.b64decode(b64)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"  # reference wire shape: PNG
+    img = decode_png(raw)
+    assert img.shape == (200, 200, 3)
+    # bottom-right inner outline pixel: far from every label strip, and the
+    # only thing compositing over it is its own span's fill — a color
+    # blended with its own tint is itself, so the pixel is EXACTLY the
+    # fixed palette color for that span index
+    for i, (_, *box) in enumerate(spans):
+        x1, y1, x2, y2 = denormalize_box(box, 200, 200)
+        c = np.array(_RASTER_PALETTE[i % len(_RASTER_PALETTE)], dtype=np.uint8)
+        assert (img[y2 - 2, x2 - 2] == c).all()
+    # corners far from any box stay white
+    assert (img[199, 0] == 255).all()
+    # empty spans -> empty 1-color canvas still encodes
+    blank = decode_png(base64.b64decode(render_boxes_png([], 16, 16)))
+    assert (blank == 255).all()
+
+
+def test_extract_raster_boxes_flag(spark):
+    """raster_boxes=True flips boxes_image to the base64-PNG wire shape;
+    default stays the SVG analog (unified_fields oracle unchanged)."""
+    import base64
+
+    from ocr_project_spark.datagen import build_html
+    from ocr_project_spark.operators.extract import extract_documents
+
+    df = spark.createDataFrame(
+        [(
+            "https://h.example.org/d0.html",
+            build_html(0, "alpha beta gamma", "en").encode(),
+            "deepseek-ocr",
+            0,
+        )],
+        "url string, html binary, backend string, doc_id long",
+    )
+    svg_row = extract_documents(df).collect()[0]
+    png_row = extract_documents(df, raster_boxes=True).collect()[0]
+    assert svg_row["boxes_image"].startswith("<svg")
+    decoded = base64.b64decode(png_row["boxes_image"])
+    assert decoded[:8] == b"\x89PNG\r\n\x1a\n"
+    # everything OUTSIDE the flag-gated column is byte-identical
+    for field in ("url", "markdown", "text", "raw_output", "spans", "error"):
+        assert svg_row[field] == png_row[field]
+
+
 def test_html_kernel_inline_markup():
     html = (
         b"<html><body><p>text with <b>bold</b> and <i>italic</i> and "

@@ -158,6 +158,60 @@ def test_circuit_breaker_state_machine(spark):
     assert circuit_breaker_gate(two_fails_only) == {"mineru": True}
 
 
+def test_circuit_breaker_collect_bounded_on_long_history(spark, monkeypatch):
+    """VERDICT r4 item 4: the breaker replay must NOT ship the full lineage
+    history to the driver. With 200 runs x 8 partitions x 2 backends of
+    history, the only collect is one verdict row per backend — the replay
+    itself runs as windowed gaps-and-islands in Spark."""
+    from ocr_project_spark.operators.lineage import circuit_breaker_gate
+
+    rows = []
+    for run in range(200):
+        for part in range(8):
+            # mineru: poisoned for runs 0-99 (every check fails), healthy
+            # after → last decisive event is a success streak → closed.
+            ok = run >= 100
+            rows.append((run, part, "mineru", 5 if ok else 0, 0 if ok else 5))
+            # deepseek: healthy until the last 3 runs, then down → open.
+            down = run >= 197
+            rows.append(
+                (run, part, "deepseek-ocr", 0 if down else 5, 5 if down else 0)
+            )
+    lineage = spark.createDataFrame(
+        [(r, p, b, s + f, s, f, 0, 0.0) for r, p, b, s, f in rows],
+        "run_id long, part_id int, backend string, n_docs long, "
+        "n_success long, n_failed long, n_bytes long, cpu_seconds double",
+    )
+
+    # patch the CONCRETE DataFrame class (pyspark 4 routes pyspark.sql.
+    # DataFrame.collect through a classic/connect subclass override)
+    df_cls = type(lineage)
+    collected_rows = []
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        out = real_collect(self)
+        collected_rows.append(len(out))
+        return out
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    gate = circuit_breaker_gate(lineage)
+    assert gate == {"mineru": True, "deepseek-ocr": False}
+    # one collect, one row per backend — not 3200 history rows
+    assert collected_rows == [2]
+
+    # no decisive streak anywhere -> stays closed (initial state)
+    monkeypatch.undo()
+    alternating = spark.createDataFrame(
+        [
+            (0, p, "mineru", (p + 1) % 2 * 5, p % 2 * 5)
+            for p in range(10)
+        ],
+        "run_id long, part_id int, backend string, n_success long, n_failed long",
+    )
+    assert circuit_breaker_gate(alternating) == {"mineru": True}
+
+
 def test_circuit_breaker_short_circuits_poisoned_backend(spark, tmp_path):
     """A backend poisoned in run #1 (every payload malformed) is skipped in
     run #2: its docs short-circuit at the breaker and are NOT checkpointed
