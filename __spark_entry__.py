@@ -1191,12 +1191,24 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality scores (quality_scores) plus the gate verdict
-    (quality_gate membership as a boolean) plus BOTH token counters
-    (token_counts: whitespace + BPE-ish regex) — one query exercises the
-    scoring, filtering, and token-counting operators on the same rows
-    (the round-3 `text_token_counts` row is subsumed, not dropped)."""
-    from ocr_project_spark.textops import quality_gate, quality_scores, token_counts
+    """Per-doc quality profile in ONE row set (round-5 merge of the
+    text_quality and gopher_gate queries, freeing the registry slot for
+    streaming_near_dup without dropping any operator from coverage):
+    quality_scores + the quality_gate verdict + both token counters
+    (subsuming round 3's text_token_counts) joined with the Gopher-rules
+    gate features/verdict (gopher_gate(emit_all=True)) and the
+    within-document repetition signals (repetition_signals). The gopher
+    side drops its n_words/avg_word_len_x100/stopword_hits columns — they
+    are the identical expressions quality_scores already emits — so every
+    remaining column is a distinct operator output, all integer-safe for
+    an exact SQL replay."""
+    from ocr_project_spark.textops import (
+        gopher_gate,
+        quality_gate,
+        quality_scores,
+        repetition_signals,
+        token_counts,
+    )
 
     docs = _docs(spark, sf_dir)
     scores = quality_scores(docs)
@@ -1206,25 +1218,78 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
+    gopher = gopher_gate(docs, emit_all=True).select(
+        "doc_id", "alpha_word_ratio_x100", "passes_gopher"
+    )
+    rep = repetition_signals(docs).drop("n_words")
     return (
         scores.join(gate, "doc_id", "left")
         .withColumn("passes_gate", F.coalesce("passes_gate", F.lit(False)))
         .join(toks, "doc_id")
+        .join(gopher, "doc_id")
+        .join(rep, "doc_id")
     )
 
 
-def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality signals in one per-doc row set (round-4 merge
-    of the gopher_gate and text_repetition queries): the length/shape gate
-    features + verdict (gopher_gate(emit_all=True)) joined with the
-    within-document repetition signals (repetition_signals). Integer-safe
-    features so the oracle replays every value exactly."""
-    from ocr_project_spark.textops import gopher_gate, repetition_signals
+def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-replay oracle for the incremental cross-batch near-dup index
+    (streaming/incremental.py near_dup_stream — previously the only
+    pytest-only family): the planted-dup corpus lands as FOUR deterministic
+    shards, each drained by its own availableNow micro-batch run against
+    the accumulated bucketed index, at the SAME LSH configuration as the
+    batch dedup_minhash query (3-gram shingles, 128 hashes / 32 bands,
+    threshold 0.8). The shard key offsets each planted variant family
+    (base / +100000 exact copy / +200000 near-dup) into a DIFFERENT batch,
+    so every planted pair is found via the cross-batch index join, not
+    within one batch. The union of per-batch pair emissions must equal the
+    exact all-pairs 3-gram-Jaccard SQL closure — the same oracle
+    dedup_minhash passes — because a pair (a, b) is emitted exactly when
+    its later member's batch joins the index that already holds the
+    earlier member's band rows, and LSH candidate recall ≈ 1 at 128/32
+    for j ≥ 0.8. Streaming verification runs over xxhash64 shingle-hash
+    arrays, the SQL over shingle strings — set sizes coincide absent a
+    64-bit collision, making the jaccard doubles bit-identical."""
+    import os
+    import shutil
+    import tempfile
 
-    docs = _docs(spark, sf_dir)
-    gate = gopher_gate(docs, emit_all=True)
-    rep = repetition_signals(docs).drop("n_words")
-    return gate.join(rep, "doc_id")
+    from ocr_project_spark.streaming.incremental import near_dup_stream
+
+    corpus = _dedup_corpus_de(spark, sf_dir).select("doc_id", "text", "lang")
+    work = tempfile.mkdtemp(prefix="stream_nd_")
+    inp = os.path.join(work, "docs")
+    pairs_out = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+    idx = "nd_q_" + os.path.basename(work).rsplit("_", 1)[-1].lower()
+    # variant family (doc_id // 100000) shifts the shard so copies of one
+    # base doc land in different micro-batches → genuinely cross-batch pairs
+    shard = F.pmod(F.col("doc_id") + F.floor(F.col("doc_id") / 100000), F.lit(4))
+    for s in range(4):
+        corpus.where(shard == s).coalesce(1).write.mode("append").parquet(inp)
+        q = near_dup_stream(
+            spark,
+            inp,
+            idx,
+            pairs_out,
+            ckpt,
+            threshold=0.8,
+            n=3,
+            num_hashes=128,
+            bands=32,
+        )
+        q.awaitTermination()
+    pairs = (
+        spark.read.parquet(pairs_out)
+        .select("id_a", "id_b", "jaccard")
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint()  # sever lineage from the temp index tables
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
+    for t in (f"{idx}_bands", f"{idx}_hashes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    return pairs
 
 
 def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coverage."""
     return {
         # --- changed or added this round / round 3 tail ---
+        "streaming_near_dup": q_streaming_near_dup,
+        "text_quality": q_text_quality,
         "recrawl_ops": q_recrawl_ops,
         "warc_sinks": q_warc_sinks,
         "link_graph": q_link_graph,
@@ -1610,7 +1677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "quality_lm": q_quality_lm,
         "sim_embed_dedup": q_sim_embed_dedup,
-        "gopher_gate": q_gopher_gate,
         "dedup_blocking": q_dedup_blocking,
         "corpus_mix": q_corpus_mix,
         "corpus_partitioning": q_corpus_partitioning,
@@ -1619,7 +1685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "contamination": q_contamination,
         "backend_listing": q_backend_listing,
-        "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "corpus_profile": q_corpus_profile,
@@ -2558,6 +2623,9 @@ def oracle_sql() -> dict[str, str]:
         # text_quality: scores + the gate verdict as a CASE over the same
         # integer-scaled features (quality_scores ∘ quality_gate in one row)
         # + the two token counters (subsumes the round-3 text_token_counts)
+        # + the Gopher gate features/verdict and the repetition signals
+        # (round-5 merge of the gopher_gate row set; the shared
+        # n_words/avg_word_len_x100/stopword_hits come from the scores side)
         "text_quality": r"""
             WITH f AS (
                 SELECT doc_id,
@@ -2573,8 +2641,42 @@ def oracle_sql() -> dict[str, str]:
                                                   w -> w = 'a' OR w = 'the'))
                                   * 10000
                             / len(string_split(text, ' '))) AS BIGINT)
-                           AS stopword_ratio_x10000
+                           AS stopword_ratio_x10000,
+                       CAST(floor(len(list_filter(string_split(text, ' '),
+                                w -> regexp_matches(w, '[a-zA-Z]'))) * 100
+                            / len(string_split(text, ' '))) AS BIGINT)
+                           AS alpha_word_ratio_x100
                 FROM documents
+            ),
+            w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            wc AS (
+                SELECT doc_id, word, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+                GROUP BY doc_id, word
+            ),
+            wstat AS (
+                SELECT doc_id, max(c) AS top, count(*) AS n_distinct
+                FROM wc GROUP BY doc_id
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(n - 1, 1)),
+                           i -> array_to_string(list_slice(ws, i + 1, i + 2), ' ')
+                       )) AS gram
+                FROM w WHERE n >= 2
+            ),
+            gc AS (
+                SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+            ),
+            dup AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_pos
+                FROM gc GROUP BY doc_id
             )
             SELECT f.doc_id, f.n_chars, f.n_words, f.avg_word_len_x100,
                    f.stopword_hits, f.stopword_ratio_x10000,
@@ -2583,9 +2685,29 @@ def oracle_sql() -> dict[str, str]:
                        AS passes_gate,
                    len(string_split(d.text, ' ')) AS n_ws_tokens,
                    len(regexp_extract_all(d.text,
-                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
-            FROM f JOIN documents d ON f.doc_id = d.doc_id
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+                   f.alpha_word_ratio_x100,
+                   (f.n_words BETWEEN 20 AND 100000
+                    AND f.avg_word_len_x100 BETWEEN 200 AND 1000
+                    AND f.alpha_word_ratio_x100 >= 80
+                    AND f.stopword_hits >= 2) AS passes_gopher,
+                   CAST(floor(wstat.top * 10000 / w.n) AS BIGINT)
+                       AS top_word_frac_x10000,
+                   CAST(floor(wstat.n_distinct * 10000 / w.n) AS BIGINT)
+                       AS distinct_word_frac_x10000,
+                   CAST(floor(COALESCE(dup.dup_pos, 0) * 10000
+                              / greatest(w.n - 1, 1)) AS BIGINT)
+                       AS dup_2gram_frac_x10000
+            FROM f
+            JOIN documents d ON f.doc_id = d.doc_id
+            JOIN w ON f.doc_id = w.doc_id
+            JOIN wstat ON f.doc_id = wstat.doc_id
+            LEFT JOIN dup ON f.doc_id = dup.doc_id
         """,
+        # streaming_near_dup: the cross-batch incremental LSH index must
+        # reproduce the batch closure — the exact all-pairs 3-gram-Jaccard
+        # set over the same planted corpus (LSH recall ≈ 1 at 128/32)
+        "streaming_near_dup": _JACCARD_DE_SQL,
         # WET round-trip: the parsed-back record set equals ground truth
         # (url derivation identical to url_canonical's)
         # warc_sinks: WET rows are the byte-identity ground truth; WAT rows
@@ -2713,74 +2835,6 @@ def oracle_sql() -> dict[str, str]:
                       * CAST(total AS HUGEINT) * CAST(lim_weight AS HUGEINT)
                 < CAST(4294967296 AS HUGEINT)
                       * CAST(lim_total AS HUGEINT) * CAST(weight AS HUGEINT)
-        """,
-        # exact replay of repetition_signals: word/2-gram counts via
-        # parallel-unnest explodes, dup positions = sum of counts >= 2
-        # merged gate + repetition signals, one per-doc row, no filter:
-        # the verdict rides along as passes_gopher
-        "gopher_gate": r"""
-            WITH f AS (
-                SELECT doc_id,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                       CAST(floor(length(replace(text, ' ', '')) * 100
-                            / len(string_split(text, ' '))) AS BIGINT)
-                           AS avg_word_len_x100,
-                       CAST(floor(len(list_filter(string_split(text, ' '),
-                                w -> regexp_matches(w, '[a-zA-Z]'))) * 100
-                            / len(string_split(text, ' '))) AS BIGINT)
-                           AS alpha_word_ratio_x100,
-                       CAST(len(list_filter(string_split(text, ' '),
-                                w -> w = 'a' OR w = 'the')) AS BIGINT)
-                           AS stopword_hits
-                FROM documents
-            ),
-            w AS (
-                SELECT doc_id, string_split(text, ' ') AS ws,
-                       len(string_split(text, ' ')) AS n
-                FROM documents
-            ),
-            wc AS (
-                SELECT doc_id, word, count(*) AS c
-                FROM (SELECT doc_id, unnest(ws) AS word FROM w)
-                GROUP BY doc_id, word
-            ),
-            ws AS (
-                SELECT doc_id, max(c) AS top, count(*) AS n_distinct
-                FROM wc GROUP BY doc_id
-            ),
-            g AS (
-                SELECT doc_id,
-                       unnest(list_transform(
-                           range(greatest(n - 1, 1)),
-                           i -> array_to_string(list_slice(ws, i + 1, i + 2), ' ')
-                       )) AS gram
-                FROM w WHERE n >= 2
-            ),
-            gc AS (
-                SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
-            ),
-            dup AS (
-                SELECT doc_id,
-                       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_pos
-                FROM gc GROUP BY doc_id
-            )
-            SELECT f.doc_id, f.n_words, f.avg_word_len_x100,
-                   f.alpha_word_ratio_x100, f.stopword_hits,
-                   (f.n_words BETWEEN 20 AND 100000
-                    AND f.avg_word_len_x100 BETWEEN 200 AND 1000
-                    AND f.alpha_word_ratio_x100 >= 80
-                    AND f.stopword_hits >= 2) AS passes_gopher,
-                   CAST(floor(ws.top * 10000 / w.n) AS BIGINT)
-                       AS top_word_frac_x10000,
-                   CAST(floor(ws.n_distinct * 10000 / w.n) AS BIGINT)
-                       AS distinct_word_frac_x10000,
-                   CAST(floor(COALESCE(dup.dup_pos, 0) * 10000
-                              / greatest(w.n - 1, 1)) AS BIGINT)
-                       AS dup_2gram_frac_x10000
-            FROM f
-            JOIN w ON f.doc_id = w.doc_id
-            JOIN ws ON f.doc_id = ws.doc_id
-            LEFT JOIN dup ON f.doc_id = dup.doc_id
         """,
         # quality_lm: the corpus IS the language model — gram strings are
         # rebuilt here while Spark only ever sees 64-bit gram hashes (a
