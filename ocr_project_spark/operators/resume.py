@@ -111,7 +111,10 @@ def crawl_delta(
 
 
 def write_results_bucketed(
-    results: DataFrame, table: str, buckets: int = 64
+    results: DataFrame,
+    table: str,
+    buckets: int = 64,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Persist results as a url-bucketed, url-sorted table (the Iceberg
     bucket-transform analog over the session catalog): every append keeps
@@ -119,9 +122,11 @@ def write_results_bucketed(
     reads the done side already partitioned — no shuffle on the
     (large) checkpoint side, ever. ``buckets`` should match the shuffle
     parallelism the pages side will use."""
+    writer = results.write.mode("append")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     (
-        results.write.mode("append")
-        .bucketBy(buckets, "url")
+        writer.bucketBy(buckets, "url")
         .sortBy("url")
         .format("parquet")
         .saveAsTable(table)

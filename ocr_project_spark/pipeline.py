@@ -73,12 +73,14 @@ def _next_run_id(lineage_prior: DataFrame | None) -> int:
 def run_job(
     spark: SparkSession,
     pages: DataFrame,
-    results_path: str,
+    results_path: str | None,
     lineage_path: str | None = None,
     num_partitions: int | None = None,
     max_records_per_file: int | None = 500_000,
     circuit_breaker: bool = False,
     probe_mod: int = HALF_OPEN_PROBE_MOD,
+    bucketed_table: str | None = None,
+    buckets: int = 64,
 ) -> None:
     """Resumable batch job: skip completed urls, extract, append results and
     lineage. Crash-and-rerun converges to the same result set (see
@@ -100,7 +102,17 @@ def run_job(
     observe recovery and close itself: probe successes are real results
     (checkpointed + healthy lineage), probe failures are treated as
     infrastructure evidence — lineage only, never checkpointed, so the urls
-    retry once the backend recovers."""
+    retry once the backend recovers.
+
+    ``bucketed_table`` switches the results store from a plain parquet
+    directory to a url-bucketed catalog table (PLANS §2b): each run's
+    append keeps rows hash-clustered on the resume key, so the next run's
+    anti-join reads the (at scale, enormous) done side pre-partitioned —
+    the done-side exchange disappears from the plan entirely. When set,
+    ``results_path`` is ignored (pass None); ``buckets`` should match the
+    pages side's shuffle parallelism. Identical resume/convergence
+    semantics either way (tests/test_resume.py runs the crash/rerun/noop
+    suite against both stores)."""
     lineage_prior = (
         read_parquet_if_exists(spark, lineage_path) if lineage_path else None
     )
@@ -110,7 +122,12 @@ def run_job(
 
         model_loaded = circuit_breaker_gate(lineage_prior)
     run_id = _next_run_id(lineage_prior)
-    done = completed_urls(spark, results_path)
+    if bucketed_table is not None:
+        from ocr_project_spark.operators.resume import completed_urls_bucketed
+
+        done = completed_urls_bucketed(spark, bucketed_table)
+    else:
+        done = completed_urls(spark, results_path)
     todo = resume_filter(pages, done)
 
     from ocr_project_spark.contract import ERR_MODEL_NOT_LOADED
@@ -159,12 +176,24 @@ def run_job(
     results = results.withColumn("run_id", F.lit(run_id).cast("long"))
 
     try:
-        writer = results.write.mode("append")
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.parquet(results_path)
+        if bucketed_table is not None:
+            from ocr_project_spark.operators.resume import write_results_bucketed
+
+            write_results_bucketed(
+                results, bucketed_table, buckets, max_records_per_file
+            )
+        else:
+            writer = results.write.mode("append")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", max_records_per_file)
+            writer.parquet(results_path)
         if lineage_path:
-            lin = lineage_rows(this_run_results(spark, results_path, run_id))
+            this_run = (
+                spark.table(bucketed_table).where(F.col("run_id") == run_id)
+                if bucketed_table is not None
+                else this_run_results(spark, results_path, run_id)
+            )
+            lin = lineage_rows(this_run)
             if probe_fail_lineage is not None:
                 lin = lin.unionByName(probe_fail_lineage)
             lin.withColumn("run_id", F.lit(run_id).cast("long")).write.mode(
