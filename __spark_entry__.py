@@ -1277,18 +1277,23 @@ def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=128,
             bands=32,
         )
-        q.awaitTermination()
+        # bounded wait: a wedged micro-batch must fail THIS query's row,
+        # never hang the whole correctness run
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"streaming micro-batch {s} did not drain in 600s")
     pairs = (
         spark.read.parquet(pairs_out)
         .select("id_a", "id_b", "jaccard")
         .dropDuplicates(["id_a", "id_b"])
-        .localCheckpoint()  # sever lineage from the temp index tables
+        .localCheckpoint()  # eager: severs lineage from every temp file below
     )
     wh = spark.conf.get("spark.sql.warehouse.dir", "").replace("file:", "")
     for t in (f"{idx}_bands", f"{idx}_hashes"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         if wh:
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
     return pairs
 
 

@@ -37,14 +37,25 @@ from pyspark.sql import DataFrame, functions as F
 # agnostic: real crawl anchors spell <a class=x href=…>, single-quoted,
 # and unquoted hrefs, so href may sit after other attributes ([^>]*?) but
 # must be whitespace-delimited ((?:…\s)? — `data-href=` is NOT an href).
-# The URL value stops at the matching quote or, unquoted, at
-# whitespace/`>`. Known coverage limits (documented, not harvested):
-# hrefs on tags other than <a>, URLs containing a literal quote of the
-# wrapping kind, and markup hidden in comments/scripts (a regex harvest
-# has no parser state — the standard trade for a scan-fused projection).
-_HREF_PATTERN = (
-    r"(?i)<a\s(?:[^>]*?\s)?href\s*=\s*[\"']?(https?://[^\"'\s>]+)"
+# One pattern per quote style so the value only stops at its MATCHING
+# quote kind (plus whitespace/`>` — raw spaces inside a quoted href keep
+# the valid URL prefix, and a missing close quote cannot swallow markup):
+# a double-quoted URL containing a single quote (common — /O'Neil paths)
+# harvests whole instead of truncating at the foreign quote. The three
+# are mutually exclusive on the character after `=`, so concatenating
+# their extractions never double-counts an anchor. Known coverage limits
+# (documented, not harvested): hrefs on tags other than <a>, URLs
+# containing a literal quote of the wrapping kind, markup hidden in
+# comments/scripts, and href-shaped text inside ANOTHER attribute's
+# quoted value (the [^>]*? skip has no quote state — a regex harvest has
+# no parser state, the standard trade for a scan-fused projection).
+_HREF_PATTERNS = (
+    r"(?i)<a\s(?:[^>]*?\s)?href\s*=\s*\"(https?://[^\"\s>]+)",
+    r"(?i)<a\s(?:[^>]*?\s)?href\s*=\s*'(https?://[^'\s>]+)",
+    r"(?i)<a\s(?:[^>]*?\s)?href\s*=\s*(https?://[^\"'\s>]+)",
 )
+# retained name for callers/tests that reference the double-quote form
+_HREF_PATTERN = _HREF_PATTERNS[0]
 
 
 def extract_outlinks(
@@ -63,8 +74,12 @@ def extract_outlinks(
     href (spaces etc. — common in real HTML) yields a NULL host on ITS
     row instead of killing the job. :func:`host_graph` drops null-host
     rows; callers that want the loss observable can count them first."""
-    hrefs = F.regexp_extract_all(
-        F.col(html_col).cast("string"), F.lit(_HREF_PATTERN), F.lit(1)
+    text = F.col(html_col).cast("string")
+    hrefs = F.concat(
+        *[
+            F.regexp_extract_all(text, F.lit(p), F.lit(1))
+            for p in _HREF_PATTERNS
+        ]
     )
     return (
         pages.select(

@@ -34,10 +34,10 @@ of up-to-16 dict probes, the bit reader refills four bytes at a time,
 and destuffing/restart splitting is regex + bytes.replace (C speed).
 The IDCT, color transform and block→plane assembly are vectorized numpy
 over all blocks at once. A ≥1 MP throughput budget is enforced in
-tests/test_multimodal.py (mirroring the PNG Paeth budget) so the walk
-cannot silently regress to per-bit cost; a production deployment would
-still swap in a codec library on the executors while keeping the same
-operator contract.
+tests/test_jpeg.py (mirroring the PNG Paeth budget in
+tests/test_multimodal.py) so the walk cannot silently regress to per-bit
+cost; a production deployment would still swap in a codec library on the
+executors while keeping the same operator contract.
 """
 
 from __future__ import annotations
@@ -282,6 +282,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 nvals = sum(bits)
                 values = list(body[i + 17 : i + 17 + nvals])
+                # baseline magnitude bounds (spec tables F.1/F.2: DC
+                # categories 0-11, AC sizes 1-10): the entropy walk's
+                # single 27-bit refill covers a 16-bit code peek plus an
+                # 11-bit magnitude — an out-of-spec size nibble would
+                # drive the bit budget negative mid-block, so reject it
+                # here with a named error (→ a corrupt row, not a crash)
+                if tc == 0:
+                    if any(v > 11 for v in values):
+                        raise ValueError("JPEG DC category exceeds baseline")
+                else:
+                    if any((v & 0x0F) > 10 for v in values):
+                        raise ValueError("JPEG AC size exceeds baseline")
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
                     bits, values
                 )

@@ -87,7 +87,18 @@ def circuit_breaker_gate(lineage: DataFrame) -> dict[str, bool]:
     from pyspark.sql.window import Window
 
     has_run = "run_id" in lineage.columns
-    order_cols = (["run_id"] if has_run else []) + ["part_id"]
+    # (n_success, n_failed) tie-breakers: one run can append two rows with
+    # the SAME (run_id, part_id) for a backend (result lineage + probe-fail
+    # lineage both derive part_id from spark_partition_id()), and a
+    # nondeterministic tie order could flip which decisive streak completes
+    # last — the gate verdict must be a pure function of the lineage rows
+    # (resume determinism), so the order replays the old driver-side sort
+    # tuple exactly: (run_id, part_id, n_success, n_failed).
+    order_cols = (["run_id"] if has_run else []) + [
+        "part_id",
+        "n_success",
+        "n_failed",
+    ]
     checks = lineage.select(
         "backend",
         *order_cols,

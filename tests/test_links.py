@@ -218,3 +218,29 @@ def test_wat_sink_collapses_multi_capture_urls(spark):
         "https://x.org/1",
         "https://x.org/2",
     ]
+
+
+def test_outlink_url_with_foreign_quote_harvests_whole(spark):
+    """A double-quoted URL containing a single quote (O'Neil paths) — and
+    the mirror case — must harvest up to the MATCHING delimiter, not
+    truncate at the first foreign quote (round-5 review finding: the
+    single shared charclass emitted plausible-but-wrong truncated edges)."""
+    html = (
+        "<body>"
+        '<a href="https://x.org/O\'Neil/page">a</a>'
+        "<a href='https://y.org/say_\"hi\"_path'>b</a>"
+        "<a href=https://bare.org/plain>c</a>"
+        "</body>"
+    ).encode()
+    out = extract_outlinks(
+        spark.createDataFrame(
+            [("https://src.org/a", html)], "url string, html binary"
+        )
+    ).collect()
+    assert {r["dst_url"] for r in out} == {
+        "https://x.org/O'Neil/page",
+        'https://y.org/say_"hi"_path',
+        "https://bare.org/plain",
+    }
+    # three patterns, zero double-counting
+    assert len(out) == 3

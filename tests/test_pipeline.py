@@ -384,3 +384,30 @@ def test_lineage_is_incremental_appends(spark, tmp_path):
         .collect()
     }
     assert rolled == truth
+
+
+def test_circuit_breaker_tie_order_deterministic(spark):
+    """One run can append TWO lineage rows with the same (run_id, part_id)
+    for a backend — result lineage + probe-failure lineage both derive
+    part_id from spark_partition_id(). The replay's check order at such a
+    tie must be a pure function of the rows (resume determinism), never of
+    execution order: ties break on (n_success, n_failed) ascending — the
+    failed check (n_success 0) replays BEFORE the healthy one, matching
+    the old driver-side sort. Here F,F,{F,S-tie} must order F,F,F,S: the
+    3-failure streak completes, the lone success cannot close (threshold
+    2), so the gate stays open — and stays open under any repartitioning."""
+    from ocr_project_spark.operators.lineage import circuit_breaker_gate
+
+    rows = [
+        (0, 0, "mineru", 0, 5),
+        (0, 1, "mineru", 0, 5),
+        (0, 2, "mineru", 0, 5),  # the tie's failed side
+        (0, 2, "mineru", 3, 2),  # same (run_id, part_id), healthy
+    ]
+    lineage = spark.createDataFrame(
+        rows,
+        "run_id long, part_id int, backend string, n_success long, n_failed long",
+    )
+    assert circuit_breaker_gate(lineage) == {"mineru": False}
+    for n in (1, 7, 32):
+        assert circuit_breaker_gate(lineage.repartition(n)) == {"mineru": False}
