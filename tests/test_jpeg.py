@@ -362,3 +362,47 @@ def test_jpeg_entropy_decode_throughput():
     # sanity: the decode is a real lossy roundtrip, not a stub
     assert abs(float(out.astype(np.int64).mean()) - float(img.mean())) < 8.0
     assert elapsed < 10.0, f"JPEG entropy decode took {elapsed:.1f}s for 1 MP"
+
+
+def test_out_of_baseline_huffman_size_nibbles_raise_valueerror():
+    """DHT values outside the baseline magnitude bounds (spec tables
+    F.1/F.2: DC categories 0-11, AC sizes 1-10) must be rejected at
+    table-build time with a named ValueError (the corrupt-row path) —
+    otherwise an out-of-spec size nibble drives the entropy walk's 27-bit
+    refill budget negative mid-block."""
+    import struct
+
+    import pytest
+
+    from ocr_project_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(_block_constant_gray(), gray=True)
+
+    def mutate_first_dht_value(payload, want_tc, new_value):
+        buf = bytearray(payload)
+        i = 2  # past SOI
+        while i < len(buf) - 1:
+            assert buf[i] == 0xFF
+            marker = buf[i + 1]
+            seglen = struct.unpack(">H", bytes(buf[i + 2 : i + 4]))[0]
+            if marker == 0xC4:
+                j = i + 4
+                while j < i + 2 + seglen:
+                    tcth = buf[j]
+                    nvals = sum(buf[j + 1 : j + 17])
+                    if (tcth >> 4) == want_tc:
+                        assert nvals >= 1
+                        buf[j + 17] = new_value
+                        return bytes(buf)
+                    j += 17 + nvals
+            if marker == 0xDA:
+                break
+            i += 2 + seglen
+        raise AssertionError("requested DHT class not found")
+
+    # DC category 12 > 11
+    with pytest.raises(ValueError, match="DC category"):
+        decode_jpeg(mutate_first_dht_value(good, want_tc=0, new_value=12))
+    # AC size nibble 11 > 10 (run=0, size=11)
+    with pytest.raises(ValueError, match="AC size"):
+        decode_jpeg(mutate_first_dht_value(good, want_tc=1, new_value=0x0B))
